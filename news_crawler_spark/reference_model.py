@@ -55,7 +55,9 @@ def canonicalize(href: str, site: str, strip_query: bool) -> str | None:
         return None  # U1
     if href.startswith("//"):
         href = "https:" + href  # U3
-    elif not href.startswith("http"):
+    elif not href.lower().startswith("http"):
+        # case-insensitive: synth emits uppercase 'HTTPS://HOST' hrefs (U4
+        # scheme-lowercasing coverage); they are absolute, not relative
         href = SITE_ORIGIN[site] + href  # U2
     parts = urlsplit(href)
     scheme = parts.scheme.lower()
