@@ -1,0 +1,147 @@
+"""Partitioned Bloom-filter URL-seen prefilter — SURVEY.md §2.4 (D1).
+
+The reference holds every seen URL in an in-memory Python set
+(Nate_Crawler.py:44, seeded from disk at Naver_Crawler.py:58-64) — a
+non-starter at 10^10 URLs. Here the seen-set is (a) an exact ``seen``
+table (parity authority) and (b) a sharded Bloom filter persisted as a
+``bloom_shards`` table, used only to *route*: candidates whose probe is
+negative are definitely unseen and skip the exact anti-join; positives
+go through the exact ``left_anti`` join (Bloom false positives therefore
+cost a join lookup, never a wrong answer — SURVEY §7.3 "Bloom ∧
+exactness").
+
+Scale design: shard_id = h1(url) % n_shards. Probing is a **cogrouped
+applyInPandas** on shard_id, so candidate partitions meet only their own
+shard's bits — no broadcast of the full filter (at 10^10 URLs the filter
+is ~12 GB; one shard is a few MB). Shard count is the knob that bounds
+per-task memory. Updates are idempotent OR-merges of per-batch delta
+shards.
+
+Hashing is md5 double-hashing (h1 + i*h2 mod n_bits) — deterministic
+across Python/JVM boundaries and stable across runs (no PYTHONHASHSEED
+dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_SHARDS = 32
+DEFAULT_BITS_PER_SHARD = 1 << 20  # 128 KiB/shard
+DEFAULT_N_HASHES = 7
+
+BLOOM_SCHEMA = "shard_id int, n_bits bigint, n_hashes int, bits binary, version int"
+
+
+def _h12(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    h1 = np.empty(len(urls), dtype=np.uint64)
+    h2 = np.empty(len(urls), dtype=np.uint64)
+    for i, u in enumerate(urls):
+        d = hashlib.md5(u.encode()).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:], "big") | 1  # odd → full-period stride
+    return h1, h2
+
+
+def shard_id_col(url: F.Column, n_shards: int = DEFAULT_N_SHARDS) -> F.Column:
+    """JVM-side shard routing that matches _h12's h1 % n_shards: first 8
+    bytes (big-endian) of md5. conv() on 16 hex chars is unsigned 64-bit."""
+    hex16 = F.substring(F.md5(url), 1, 16)
+    return F.pmod(F.conv(hex16, 16, 10).cast("decimal(20,0)"), F.lit(n_shards)).cast("int")
+
+
+def build_shards(
+    seen: DataFrame,
+    n_shards: int = DEFAULT_N_SHARDS,
+    n_bits: int = DEFAULT_BITS_PER_SHARD,
+    n_hashes: int = DEFAULT_N_HASHES,
+    version: int = 0,
+) -> DataFrame:
+    """seen(url_canon) → bloom_shards; applyInPandas per shard (UDAF-shaped)."""
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard_id"].iloc[0])
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        h1, h2 = _h12(pdf["url_canon"])
+        for i in range(n_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+            np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            [[sid, n_bits, n_hashes, bits.tobytes(), version]],
+            columns=["shard_id", "n_bits", "n_hashes", "bits", "version"],
+        )
+
+    routed = seen.withColumn("shard_id", shard_id_col(F.col("url_canon"), n_shards))
+    return routed.groupBy("shard_id").applyInPandas(make, schema=BLOOM_SCHEMA)
+
+
+def merge_shards(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge shard tables (idempotent — re-merging a batch is a no-op)."""
+
+    def orit(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["bits"]:
+            a = np.frombuffer(b, dtype=np.uint8)
+            acc = a.copy() if acc is None else (acc | a)
+        r = pdf.iloc[[0]].copy()
+        r["bits"] = [acc.tobytes()]
+        r["version"] = int(pdf["version"].max())
+        return r
+
+    both = existing.unionByName(delta)
+    return both.groupBy("shard_id").applyInPandas(orit, schema=BLOOM_SCHEMA)
+
+
+def probe(candidates: DataFrame, shards: DataFrame, url_col: str = "url_canon",
+          n_shards: int = DEFAULT_N_SHARDS) -> DataFrame:
+    """Adds ``maybe_seen`` to candidates via cogrouped per-shard probe.
+
+    Candidates shuffle on shard_id and meet only their shard's bits —
+    the scale-path layout (no full-filter broadcast).
+    """
+    out_schema = f"{url_col} string, maybe_seen boolean"
+
+    def pr(cand: pd.DataFrame, sh: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=[url_col, "maybe_seen"])
+        if sh.empty:
+            return pd.DataFrame({url_col: cand[url_col], "maybe_seen": False})
+        bits = np.frombuffer(sh["bits"].iloc[0], dtype=np.uint8)
+        n_bits = np.uint64(int(sh["n_bits"].iloc[0]))
+        k = int(sh["n_hashes"].iloc[0])
+        h1, h2 = _h12(cand[url_col])
+        hit = np.ones(len(cand), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % n_bits
+            hit &= (bits[(pos >> 3).astype(np.int64)] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.DataFrame({url_col: cand[url_col].values, "maybe_seen": hit})
+
+    routed = candidates.select(url_col).distinct().withColumn(
+        "shard_id", shard_id_col(F.col(url_col), n_shards)
+    )
+    flags = routed.groupBy("shard_id").cogroup(shards.groupBy("shard_id")).applyInPandas(
+        pr, schema=out_schema
+    )
+    return candidates.join(flags, on=url_col, how="left").fillna({"maybe_seen": True})
+
+
+def dedup_new(candidates: DataFrame, seen: DataFrame, shards: DataFrame | None,
+              url_col: str = "url_canon", n_shards: int = DEFAULT_N_SHARDS) -> DataFrame:
+    """D1: rows of candidates whose URL is not in seen.
+
+    With shards: bloom-negative rows pass directly (no join); only
+    bloom-positive rows pay the exact anti-join. Without shards: plain
+    left_anti (the small-scale path).
+    """
+    if shards is None:
+        return candidates.join(seen, on=url_col, how="left_anti")
+    flagged = probe(candidates, shards, url_col, n_shards)
+    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    checked = maybe.join(seen, on=url_col, how="left_anti")
+    return definite_new.unionByName(checked)

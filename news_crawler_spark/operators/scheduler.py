@@ -1,0 +1,100 @@
+"""Politeness + priority fetch scheduler — SURVEY.md §2.9 (C1, C2, C7, C8).
+
+The reference's politeness is a fixed ``time.sleep(1|2)`` between
+listing fetches of one site (Daum_crawler.py:173,176, Nate_Crawler.py:193)
+and its "priority" is seed-list order (Daum_crawler.py:34-50); robots.txt
+is absent entirely. The engine makes all three explicit:
+
+* robots gate: drop frontier rows whose path matches a host's
+  ``disallow_prefixes`` (broadcast join — robots is tiny per host count).
+* per-host budget: a host with ``crawl_delay_s`` d gets
+  ``floor(window_s / d)`` dispatches per micro-batch (token bucket over
+  the batch window).
+* priority: within a host, dispatch order is (priority, order_key) —
+  order_key encodes (page, seed_index, dom_pos), SURVEY §3.4.
+
+Skew (C8/north rule): a hot host would funnel its whole frontier through
+one window partition. Enforcement is therefore two-phase —
+phase 1 ranks within ``host_salt`` (host × hash(url) % S) and keeps only
+``ceil(budget/S)`` rows per salt, bounding any one task's input;
+phase 2 re-ranks the survivors per host (now ≤ S·ceil(budget/S) rows —
+small) and applies the exact budget. Budget is per-host, enforcement is
+per-salt, re-aggregated — the subtlety SURVEY §7.3 flags.
+
+Dispatch stamps ``next_fetch_after = batch_ts + slot·crawl_delay`` using
+the host-level rank as the slot — a deterministic seeded schedule, no
+wall clock, no random jitter (C2: jitter = hash-derived, replay-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bloom import shard_id_col
+
+
+def with_host_salt(df: DataFrame, n_salts: int, url_col: str = "url_canon") -> DataFrame:
+    salt = F.pmod(shard_id_col(F.col(url_col), 1 << 30), F.lit(n_salts))
+    return df.withColumn("host_salt", F.concat_ws("#", F.col("host"), salt))
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """C7: drop disallowed paths; attach crawl_delay_s (default 1.0)."""
+    path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit(""))
+    joined = frontier.join(F.broadcast(robots), on="host", how="left")
+    allowed = joined.filter(
+        F.col("disallow_prefixes").isNull()
+        | ~F.exists(
+            F.col("disallow_prefixes"), lambda p: path.startswith(p)
+        )
+    )
+    return allowed.withColumn(
+        "crawl_delay_s", F.coalesce(F.col("crawl_delay_s"), F.lit(1.0))
+    ).drop("disallow_prefixes")
+
+
+def schedule(
+    due: DataFrame,
+    robots: DataFrame,
+    batch_ts: F.Column,
+    window_s: float,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Pick ≤ budget(host) rows per host by (priority, order_key); stamp
+    politeness slots. Input: frontier rows with url_canon, host,
+    priority, order_key. Output: dispatched rows + slot/next_fetch_after.
+    """
+    gated = robots_gate(due, robots)
+    budget = F.greatest(
+        F.lit(1), F.floor(F.lit(window_s) / F.col("crawl_delay_s"))
+    ).cast("int")
+    salted = with_host_salt(gated, n_salts)
+
+    w_salt = Window.partitionBy("host_salt").orderBy("priority", "order_key")
+    per_salt_cap = F.ceil(budget.cast("double") / F.lit(n_salts)).cast("int")
+    phase1 = (
+        salted.withColumn("salt_rank", F.row_number().over(w_salt))
+        .filter(F.col("salt_rank") <= per_salt_cap)
+    )
+
+    w_host = Window.partitionBy("host").orderBy("priority", "order_key")
+    phase2 = (
+        phase1.withColumn("slot", F.row_number().over(w_host) - 1)
+        .filter(F.col("slot") < budget)
+    )
+    return phase2.withColumn(
+        "next_fetch_after",
+        batch_ts + F.make_interval(secs=F.col("slot") * F.col("crawl_delay_s")),
+    ).drop("salt_rank")
+
+
+def order_key_col(page: F.Column, seed_index: F.Column, dom_pos: F.Column) -> F.Column:
+    """Deterministic crawl-order key, sortable as one bigint — replaces a
+    global row_number window (which would single-partition at scale).
+    Field widths: page < 2^24, seed_index < 2^20, dom_pos < 2^20."""
+    return (
+        page.cast("long") * F.lit(1 << 40).cast("long")
+        + seed_index.cast("long") * F.lit(1 << 20).cast("long")
+        + dom_pos.cast("long")
+    )

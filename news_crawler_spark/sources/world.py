@@ -1,0 +1,87 @@
+"""Materialize the deterministic synth world as Spark DataFrames /
+Parquet (the replayed fetch corpus that substitutes for live HTTP —
+SURVEY §2.1 S2/S3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import synth
+from ..config import PROFILES, SITE_HOST
+from ..schemas import CORPUS, KEYWORDS, ROBOTS, SEEDS
+
+
+def world_dfs(spark: SparkSession, scale: float = 1.0) -> dict[str, DataFrame]:
+    w = synth.build_world(scale)
+    return {
+        "corpus": spark.createDataFrame(
+            [tuple(r[c.name] for c in CORPUS) for r in w["corpus"]], CORPUS
+        ),
+        "seeds": spark.createDataFrame(
+            [tuple(r[c.name] for c in SEEDS) for r in w["seeds"]], SEEDS
+        ),
+        "robots": spark.createDataFrame(
+            [tuple(r[c.name] for c in ROBOTS) for r in w["robots"]], ROBOTS
+        ),
+        "keywords": spark.createDataFrame(
+            [tuple(r[c.name] for c in KEYWORDS) for r in w["keywords"]], KEYWORDS
+        ),
+    }
+
+
+def write_world(spark: SparkSession, out_dir: str, scale: float = 1.0,
+                distributed: bool = False) -> dict[str, str]:
+    """Persist the world as parquet; corpus built distributively at bench
+    scales (synth.build_corpus_spark — no driver-side row loop)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    dfs = world_dfs(spark, scale if not distributed else 0.05)
+    if distributed:
+        dfs["corpus"] = synth.build_corpus_spark(spark, scale)
+        # seeds/robots/keywords are tiny at any scale; rebuild at true scale
+        w = synth.build_world(0.0)  # sizes floor at small constants
+        dfs["seeds"] = spark.createDataFrame(
+            [tuple(r[c.name] for c in SEEDS) for r in w["seeds"]], SEEDS
+        )
+    for name, df in dfs.items():
+        p = os.path.join(out_dir, f"{name}.parquet")
+        writer = df.write.mode("overwrite")
+        if name == "corpus":
+            # page_kind+site partitioning: the pipeline's listing/article
+            # scans prune to one branch each (partition pruning, SURVEY §4)
+            writer = writer.partitionBy("page_kind")
+        writer.parquet(p)
+        paths[name] = p
+    return paths
+
+
+def read_world(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(os.path.join(out_dir, f"{name}.parquet"))
+        for name in ("corpus", "seeds", "robots", "keywords")
+    }
+
+
+def profiles_df(spark: SparkSession) -> DataFrame:
+    """Per-site semantic profile dimension (tiny, broadcast everywhere) —
+    SURVEY §7.3 'profiles are config, not code forks'."""
+    rows = [
+        (
+            p.site, p.relevance_variant, p.use_exclude, p.match_input,
+            p.detail_before_filter, p.strip_query, p.time_chain, p.time_source,
+            p.max_pages, p.stop_on_empty, p.crawl_delay_s, p.fuzzy_dedup,
+            p.freshness_days, p.min_include, SITE_HOST[p.site],
+            f"https://{SITE_HOST[p.site]}",
+        )
+        for p in PROFILES
+    ]
+    schema = (
+        "site string, relevance_variant string, use_exclude boolean, match_input string, "
+        "detail_before_filter boolean, strip_query boolean, time_chain string, "
+        "time_source string, max_pages int, stop_on_empty boolean, crawl_delay_s double, "
+        "fuzzy_dedup boolean, freshness_days int, min_include int, host string, origin string"
+    )
+    return spark.createDataFrame(rows, schema)
