@@ -15,11 +15,13 @@ is absent entirely. The engine makes all three explicit:
 
 Skew (C8/north rule): a hot host would funnel its whole frontier through
 one window partition. Enforcement is therefore two-phase —
-phase 1 ranks within ``host_salt`` (host × hash(url) % S) and keeps only
-``ceil(budget/S)`` rows per salt, bounding any one task's input;
-phase 2 re-ranks the survivors per host (now ≤ S·ceil(budget/S) rows —
-small) and applies the exact budget. Budget is per-host, enforcement is
-per-salt, re-aggregated — the subtlety SURVEY §7.3 flags.
+phase 1 ranks within ``host_salt`` (host × hash(url) % S), distributing
+the hot host's sort across S partitions, and keeps ≤ budget rows per
+salt; phase 2 re-ranks the survivors per host (≤ S·budget rows — small)
+and applies the exact budget. Budget is per-host, enforcement starts
+per-salt and re-aggregates — the subtlety SURVEY §7.3 flags: a per-salt
+cap below the full budget would be inexact when the true top-budget
+rows cluster in one salt.
 
 Dispatch stamps ``next_fetch_after = batch_ts + slot·crawl_delay`` using
 the host-level rank as the slot — a deterministic seeded schedule, no
@@ -71,11 +73,15 @@ def schedule(
     ).cast("int")
     salted = with_host_salt(gated, n_salts)
 
+    # Per-salt cap = full budget: a salt can never contribute more than
+    # budget rows, yet any distribution of the true top-budget rows across
+    # salts survives phase 1 — so phase 2 is exact. Phase 2's input is
+    # ≤ n_salts·budget rows per host (small); the unbounded hot-host sort
+    # happened distributed across the salt partitions.
     w_salt = Window.partitionBy("host_salt").orderBy("priority", "order_key")
-    per_salt_cap = F.ceil(budget.cast("double") / F.lit(n_salts)).cast("int")
     phase1 = (
         salted.withColumn("salt_rank", F.row_number().over(w_salt))
-        .filter(F.col("salt_rank") <= per_salt_cap)
+        .filter(F.col("salt_rank") <= budget)
     )
 
     w_host = Window.partitionBy("host").orderBy("priority", "order_key")

@@ -1,0 +1,56 @@
+"""Bloom shard prefilter: never a false negative (exactness — SURVEY
+§7.3 'Bloom ∧ exactness'), OR-merge idempotence, and routing stats."""
+
+from pyspark.sql import functions as F
+
+from news_crawler_spark.operators import bloom
+
+
+def _urls(prefix, n):
+    return [(f"https://example.com/{prefix}/{i}",) for i in range(n)]
+
+
+def test_no_false_negatives_and_routing(spark):
+    seen = spark.createDataFrame(_urls("seen", 500), "url_canon string")
+    shards = bloom.build_shards(seen, n_shards=8, n_bits=1 << 14)
+    cand = spark.createDataFrame(_urls("seen", 500) + _urls("new", 500), "url_canon string")
+    flagged = bloom.probe(cand, shards, n_shards=8)
+    rows = flagged.collect()
+    for r in rows:
+        if "/seen/" in r.url_canon:
+            assert r.maybe_seen, f"false negative: {r.url_canon}"
+    # the filter must prune most definitely-new urls (fp rate sanity)
+    fp = sum(1 for r in rows if "/new/" in r.url_canon and r.maybe_seen)
+    assert fp < 50
+
+
+def test_dedup_new_exact(spark):
+    seen = spark.createDataFrame(_urls("seen", 300), "url_canon string")
+    shards = bloom.build_shards(seen, n_shards=8, n_bits=1 << 14)
+    cand = spark.createDataFrame(_urls("seen", 300) + _urls("new", 300), "url_canon string")
+    out = {r.url_canon for r in bloom.dedup_new(cand, seen, shards, n_shards=8).collect()}
+    assert out == {u for (u,) in _urls("new", 300)}
+
+
+def test_merge_shards_idempotent(spark):
+    a = bloom.build_shards(
+        spark.createDataFrame(_urls("a", 100), "url_canon string"), n_shards=4, n_bits=1 << 12
+    )
+    b = bloom.build_shards(
+        spark.createDataFrame(_urls("b", 100), "url_canon string"), n_shards=4, n_bits=1 << 12
+    )
+    ab = bloom.merge_shards(a, b)
+    ab2 = bloom.merge_shards(ab, b)  # re-merging the same delta: no-op
+    m1 = {r.shard_id: r.bits for r in ab.collect()}
+    m2 = {r.shard_id: r.bits for r in ab2.collect()}
+    assert m1 == m2
+
+
+def test_shard_routing_matches_python_hash(spark):
+    df = spark.createDataFrame(_urls("x", 200), "url_canon string")
+    got = df.select("url_canon", bloom.shard_id_col(F.col("url_canon"), 32).alias("sid")).collect()
+    import hashlib
+
+    for r in got:
+        h1 = int.from_bytes(hashlib.md5(r.url_canon.encode()).digest()[:8], "big")
+        assert r.sid == h1 % 32

@@ -1,0 +1,98 @@
+"""Operator-level agreement between the Spark expressions and the pure-
+Python reference model (two independent implementations — SURVEY §5.2)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from news_crawler_spark import synth
+from news_crawler_spark.config import (
+    BATCH_TS,
+    EXCLUDE_KEYWORDS,
+    INCLUDE_KEYWORDS,
+    PROFILE_BY_SITE,
+    PROFILES,
+    SITE_ORIGIN,
+)
+from news_crawler_spark.functions.relevance import keyword_arrays, relevance_expr, relevance_udf_factory
+from news_crawler_spark.functions.timeparse import batch_ts_lit, korean_date_key_expr, parse_time_expr
+from news_crawler_spark.functions.urls import canonicalize_expr, canonicalize_udf_factory
+from news_crawler_spark.reference_model import canonicalize, parse_time, relevance
+
+
+def test_canonicalize_native_and_udf_match_oracle(spark):
+    rows = []
+    for p in PROFILES:
+        for art in range(40):
+            for occ in range(4):
+                rows.append((synth.raw_href(p.site, art, occ), SITE_ORIGIN[p.site],
+                             p.strip_query, p.site))
+            iraw = synth.img_raw(p.site, art)
+            if iraw:
+                rows.append((iraw, SITE_ORIGIN[p.site], False, p.site))
+    df = spark.createDataFrame(rows, "href string, origin string, strip_query boolean, site string")
+    udf = canonicalize_udf_factory()
+    out = df.select(
+        "href", "site", "strip_query",
+        canonicalize_expr(F.col("href"), F.col("origin"), F.col("strip_query")).alias("native"),
+        udf(F.col("href"), F.col("origin"), F.col("strip_query")).alias("viaudf"),
+    ).collect()
+    assert out
+    for r in out:
+        exp = canonicalize(r.href, r.site, r.strip_query)
+        assert r.native == exp, (r.href, r.native, exp)
+        assert r.viaudf == exp, (r.href, r.viaudf, exp)
+
+
+def test_time_chains_match_oracle(spark):
+    rows = [(synth.make_time_str(p, a), p.time_chain) for p in PROFILES for a in range(50)]
+    rows += [("soon", "t2"), ("", "t2"), ("moments ago", "t1"), ("07:65", "t1"), ("13:07", "t1"),
+             ("garbage", "t4"), ("2025년 06월 01일", "t4"), ("05-01 09:30", "t3")]
+    df = spark.createDataFrame(rows, "s string, chain string")
+    out = df.select("s", "chain",
+                    parse_time_expr(F.col("s"), F.col("chain"), batch_ts_lit()).alias("ts")).collect()
+    batch = dt.datetime.strptime(BATCH_TS, "%Y-%m-%d %H:%M:%S")
+
+    class P:
+        pass
+
+    for r in out:
+        prof = P()
+        prof.time_chain = r.chain
+        assert r.ts == parse_time(r.s, prof, batch), (r.s, r.chain, r.ts)
+
+
+def test_relevance_native_and_udf_match_oracle(spark):
+    rows = []
+    for p in PROFILES:
+        for a in range(60):
+            t = synth.make_title(p.site, a)
+            if p.match_input == "title_lead":
+                t = f"{t} {synth.make_lead(p.site, a)}"
+            elif p.match_input == "title_summary":
+                t = f"{t} {synth.make_summary(p.site, a)}"
+            rows.append((t, p.relevance_variant, p.use_exclude, p.min_include, p.site))
+    df = spark.createDataFrame(
+        rows, "text string, variant string, use_exclude boolean, min_include int, site string"
+    )
+    inc, exc = keyword_arrays(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
+    udf = relevance_udf_factory(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
+    out = df.select(
+        "text", "site",
+        relevance_expr(F.col("text"), F.col("variant"), F.col("use_exclude"),
+                       inc, exc, F.col("min_include")).alias("native"),
+        udf(F.col("text"), F.col("variant"), F.col("use_exclude"),
+            F.col("min_include")).alias("viaudf"),
+    ).collect()
+    for r in out:
+        exp = relevance(r.text, PROFILE_BY_SITE[r.site])
+        assert bool(r.native) == exp, (r.text, r.site)
+        assert bool(r.viaudf) == exp, (r.text, r.site)
+
+
+def test_korean_date_key(spark):
+    # T7: 2025-06-14 is a Saturday → 토요일 (reference day-name map,
+    # Daum_crawler.py:24-32)
+    df = spark.createDataFrame([("2025-06-14 10:00:00",)], "s string")
+    out = df.select(korean_date_key_expr(F.col("s").cast("timestamp")).alias("k")).first()
+    assert out.k == "2025년 06월 14일 토요일"

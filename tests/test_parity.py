@@ -1,0 +1,66 @@
+"""The BASELINE.json correctness gate: span-sequence equality per doc_id,
+crawl-order equality, and final URL-seen-set equality vs the reference
+model, under the same seed list + politeness budget (north_rule)."""
+
+import pytest
+
+from news_crawler_spark.plans.crawl import run_crawl
+from news_crawler_spark.sources.store import SnapshotStore
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, world, tmp_path_factory):
+    store = SnapshotStore(str(tmp_path_factory.mktemp("store")))
+    res = run_crawl(spark, world, store, use_bloom=True)
+    return store, res
+
+
+def _engine_docs(spark, store):
+    rows = store.read(spark, "documents").collect()
+    return {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans] for r in rows}, rows
+
+
+def test_span_sequence_parity(spark, golden, crawl_run):
+    store, _ = crawl_run
+    eng, _ = _engine_docs(spark, store)
+    gold = {k: [tuple(s) for s in v] for k, v in golden.docs.items()}
+    assert set(eng) == set(gold)
+    for d in gold:
+        assert eng[d] == gold[d], d
+
+
+def test_crawl_order_parity(spark, golden, crawl_run):
+    store, _ = crawl_run
+    _, rows = _engine_docs(spark, store)
+    order = [r.url_canon for r in sorted(rows, key=lambda r: r.crawl_order)]
+    assert order == golden.order
+
+
+def test_seen_set_parity(spark, golden, crawl_run):
+    store, _ = crawl_run
+    seen = {r.url_canon for r in store.read(spark, "seen").collect()}
+    assert seen == golden.seen
+
+
+def test_timestamp_parity(spark, golden, crawl_run):
+    store, _ = crawl_run
+    _, rows = _engine_docs(spark, store)
+    for r in rows:
+        assert r.ts == golden.meta[r.doc_id]["ts"], r.url_canon
+
+
+def test_metrics_lineage_present(spark, crawl_run):
+    store, res = crawl_run
+    m = store.read(spark, "metrics")
+    assert m is not None
+    stages = {r.stage for r in m.collect()}
+    assert {"dispatch", "parse", "accept", "accept_partition"} <= stages
+    # per-batch lineage: every committed batch has metric rows
+    batches = {r.batch_id for r in m.select("batch_id").distinct().collect()}
+    assert len(batches) == res.batches
+
+
+def test_frontier_log_tracks_dispatches(spark, crawl_run):
+    store, res = crawl_run
+    log = store.read(spark, "frontier_log")
+    assert log.count() == res.dispatched
