@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>) — brute-force
+cosine top-k as the exactness baseline, IVF-bucketed ANN as the scale
+path, and cosine near-dup pairs for embedding-level dedup.
+
+All arithmetic is native (zip_with + aggregate fold in double) so the
+DuckDB oracle (list_transform + list_reduce, same left-fold order)
+reproduces every value bit-for-bit before rounding.
+
+Scale shape: brute force is a broadcast of the (small) probe set against
+the full corpus — O(N·Q) but embarrassingly parallel and shuffle-free.
+IVF replaces it with: one broadcast join vs centroids to assign
+clusters (shuffle-free), then an equi-join probe→cluster that prunes the
+candidate set by ~n_centroids× — the same layout Faiss IVF uses,
+expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return F.round(dot_expr(a, b) / (norm_expr(a) * norm_expr(b)), 6)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per probe (self excluded), deterministic
+    tie-break on neighbor id. probes: (qid, qvec)."""
+    joined = vectors.crossJoin(F.broadcast(probes)).filter(F.col(id_col) != F.col("qid"))
+    scored = joined.select(
+        "qid", F.col(id_col), cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its argmax-cosine centroid (ties → lowest
+    centroid id). centroids: (cid, cvec) — tiny, broadcast."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col),
+        F.col("cid"), cosine_expr(F.col(vec_col), F.col("cvec")).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("cid"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(id_col, vec_col, F.col("cid").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    probe_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: search only the probe's own cluster (nprobe=1). assigned =
+    ivf_assign output; probe_ids: (qid)."""
+    probes = assigned.join(
+        probe_ids, on=F.col(id_col) == F.col("qid"), how="inner"
+    ).select("qid", F.col(vec_col).alias("qvec"), F.col("cluster").alias("qcluster"))
+    cand = assigned.join(
+        F.broadcast(probes),
+        on=[F.col("cluster") == F.col("qcluster"), F.col(id_col) != F.col("qid")],
+    )
+    scored = cand.select(
+        "qid", "cluster", F.col(id_col), cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs (a < b, cosine ≥ threshold).
+
+    With ``n_buckets``: sign-LSH blocking on the leading components
+    (pairs must agree on the signs of the first ⌈log2 buckets⌉ dims) —
+    the recall/cost dial for 100 TB corpora. None = exact all-pairs
+    (test scale only).
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_buckets:
+        import math
+
+        nbits = max(1, int(math.log2(n_buckets)))
+        sig = F.aggregate(
+            F.sequence(F.lit(1), F.lit(nbits)),
+            F.lit(0),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(F.col("v"), i) >= 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        v = v.withColumn("bkt", sig)
+        cond = [F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") < F.col("b.id")]
+    else:
+        cond = [F.col("a.id") < F.col("b.id")]
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,221 @@
+"""Deduplication family for training-data pipelines — exact, MinHash+LSH,
+SimHash, n-gram Jaccard. Everything here is **native DataFrame ops**
+(md5 / higher-order functions / joins): at 100 TB these are the most
+shuffle-heavy operators in the pipeline, so they must stay JVM-side and
+their joins must be blocked (LSH bands / hamming buckets / blocking
+keys), never all-pairs.
+
+Scale shape:
+* exact: one shuffle on the fingerprint (groupBy min keeps the canonical
+  row — map-side partial aggregation applies).
+* MinHash-LSH: signatures are per-row (no shuffle); candidates come from
+  a self-equi-join on (band_id, band_hash) — shuffle keyed on the band
+  bucket, output bounded by true collisions, verified by exact Jaccard.
+* SimHash: per-row 32-bit signature; near-dup candidates join on rotated
+  prefix buckets (here: exact-signature buckets + verify, the standard
+  multi-probe generalization is a union over rotations).
+* n-gram Jaccard: exact verifier over blocked pairs only.
+
+Hashing is md5-hex based so the DuckDB oracles in __spark_entry__.py can
+reproduce every value bit-for-bit (no engine-private hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import fingerprint_expr, tokens_expr
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized-text fingerprint."""
+    return (
+        docs.withColumn("fp", fingerprint_expr(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+# ------------------------------------------------------------------ words / shingles
+
+def word_set_expr(text: Column) -> Column:
+    return F.array_distinct(tokens_expr(F.lower(text)))
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), distinct."""
+    toks = tokens_expr(F.lower(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(inter / union, 6)
+
+
+# ------------------------------------------------------------------ minhash + lsh
+
+def minhash_signature_expr(items: Column, n_hashes: int) -> Column:
+    """MinHash over md5(seed || item): the signature element for seed s is
+    the lexicographic min of the hex digests — deterministic, oracle-
+    reproducible, and a valid min-wise permutation family."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(items, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))
+            )
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    verify_jaccard: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs (a < b) via banded MinHash-LSH, verified by exact
+    word-set Jaccard ≥ ``verify_jaccard``. Output: (a, b, jac)."""
+    n_bands = n_hashes // band_size
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        word_set_expr(F.col(text_col)).alias("ws"),
+        minhash_signature_expr(word_set_expr(F.col(text_col)), n_hashes).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "ws",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.array_join(F.slice(F.col("sig"), b * band_size + 1, band_size), "|")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "ws", "band.band_id", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            jaccard_expr(F.col("l.ws"), F.col("r.ws")).alias("jac"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.filter(F.col("jac") >= verify_jaccard)
+
+
+# ------------------------------------------------------------------ simhash
+
+def _hex32_to_long(hex8: Column) -> Column:
+    return F.conv(hex8, 16, 10).cast("long")
+
+
+def simhash32_expr(items: Column) -> Column:
+    """32-bit SimHash over md5-hashed items: bit i is set when more items
+    have bit i set than clear (ties → clear). Native HOFs only.
+    (2^b via pow — exact in double for b ≤ 31; shiftleft needs a literal
+    shift amount so it can't take the lambda variable.)"""
+    hashes = F.transform(items, lambda x: _hex32_to_long(F.substring(F.md5(x), 1, 8)))
+    n = F.size(hashes)
+
+    def p2(b: Column) -> Column:
+        return F.pow(F.lit(2.0), b.cast("double")).cast("long")
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.when(
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(p2(b)) != 0)) * 2 > n,
+            p2(b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_docs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        simhash32_expr(word_set_expr(F.col(text_col))).alias("simhash"),
+    )
+
+
+def hamming32_expr(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on the upper
+    16 bits (multi-probe would union over bit rotations; one block keeps
+    the demo oracle simple while preserving the join shape)."""
+    sh = simhash_docs(docs, text_col, id_col).withColumn(
+        "block", F.shiftright(F.col("simhash"), 16)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, on=[F.col("a.block") == F.col("b.block"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            hamming32_expr(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------------ n-gram jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact word-set Jaccard over pairs blocked by ``block_col`` —
+    the verifier pattern (blocking bounds the quadratic blowup)."""
+    w = docs.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        word_set_expr(F.col(text_col)).alias("ws"),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            jaccard_expr(F.col("a.ws"), F.col("b.ws")).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
