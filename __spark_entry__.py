@@ -386,7 +386,8 @@ def crawl_flagship(spark, sf):
 
     store = SnapshotStore(tempfile.mkdtemp(prefix="flagship_store_"))
     world = world_dfs(spark, 0.02)
-    run_crawl(spark, world, store, use_bloom=False, n_salts=2, max_batches=3)
+    run_crawl(spark, world, store, use_bloom=False, n_salts=2, pages_per_batch=8,
+              max_batches=2)
     docs = store.read(spark, "documents")
     return docs.select("doc_id", "url_canon", "site", "crawl_order", "ts")
 

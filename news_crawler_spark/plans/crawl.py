@@ -1,32 +1,47 @@
 """The micro-batch crawl pipeline — SURVEY.md §3.4, the engine's core.
 
-One micro-batch = one page generation across all active seeds (the
-deterministic projection of the reference's per-site pagination loops,
-C3/C4: crawl order ≡ (page, seed_index, dom_pos)). Each batch is one
-DataFrame plan:
+One micro-batch = a WINDOW of K page generations across all active seeds
+(``pages_per_batch``). K=1 reproduces the reference's page-at-a-time
+cadence; larger K amortizes per-batch scheduling/commit overhead K× —
+the scale lever — while keeping parity EXACT:
 
-  due listings → politeness schedule → corpus join (replayed S2)
+* Crawl order is (page, seed_index, dom_pos) regardless of batching
+  (SURVEY §3.4) — encoded in ``order_key``, never a global window.
+* Every non-dedup gate (canonicalize, robots, detail-fetch status,
+  relevance, time, freshness) is a pure per-row function → computed once
+  per window as a ``row_ok`` column (``pregate``), independent of
+  processing order.
+* URL collisions never cross sites (hosts are per-site), and in-window
+  dedup is keep-first-by-order_key — identical to the sequential seen-set
+  behavior because all occurrences of a URL share the same gate outcome.
+* The only inherently sequential decisions — A6 stop-on-empty pagination
+  (Gukje/Nate/YNA/Daum) and D4 fuzzy-title replay (Google) — run on the
+  tiny per-window slice they actually need: a driver-side replay of the
+  stop rule over the stop-on-empty sites' window items (bounded by
+  K × seeds × items/page, NOT by corpus size), and a per-site
+  applyInPandas for the fuzzy gate.
+
+Batch plan:
+
+  due (K pages × active seeds) → politeness schedule → corpus join (S2)
     → mapInPandas parse (P1/P2) → canonicalize (U1-U5, native)
-    → robots gate (C7) → in-batch first-occurrence dedup (D2)
-    → Bloom-routed exact anti-join vs seen (D1)
+    → robots gate (C7) → exact anti-join vs seen, Bloom-routed (D1)
     → article-detail corpus join + parse where the profile needs it
-      (S3/P3; semi-join reduction — only candidate URLs are parsed)
-    → relevance gate (R1-R4) → time normalize (T1-T8) → freshness (T6)
-    → sequential fuzzy replay for fuzzy-profile sites (D4)
+      (S3/P3, semi-join reduced) → relevance (R1-R4) → time (T1-T8)
+    → freshness (T6)  ⇒ pregate(row_ok)
+  stop replay (driver, stop-on-empty sites only) ⇒ per-seed page limits
+  mask ∧ first-occurrence dedup (D2) ∧ row_ok ∧ fuzzy (D4)
     → span assembly (P4) → atomic snapshot commit (C6)
 
-Pagination state (A6: stop on empty page / page caps) is the driver
-loop's only collect — a per-seed (n_items, n_accepted) aggregate of a
-few dozen rows. Everything else stays distributed.
-
-Shuffles per batch (annotated in SURVEY §3.4): corpus join on
-url_canon, in-batch dedup window on url_canon, seen anti-join on
-url_canon (Bloom-pruned), fuzzy applyInPandas on site. Listing/article
-scans prune on the corpus's page_kind partition column.
+Shuffles per window: corpus join on url_canon, dedup window on
+url_canon, seen anti-join on url_canon (Bloom-pruned), fuzzy
+applyInPandas on site. Listing/article scans prune on the corpus
+page_kind partition column.
 """
 
 from __future__ import annotations
 
+from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -57,18 +72,12 @@ class CrawlResult:
     dispatched: int = 0
     items: int = 0
     accepted: int = 0
+    frontier_rows: int = 0
     per_batch: list = field(default_factory=list)
 
 
 class InjectedFailure(RuntimeError):
     """Raised by the fault-injection hook in resume tests."""
-
-
-def _init_seed_state(spark: SparkSession, seeds: DataFrame) -> list[dict]:
-    return [
-        {**r.asDict(), "active": True}
-        for r in seeds.orderBy("seed_index").collect()
-    ]
 
 
 def run_crawl(
@@ -78,21 +87,27 @@ def run_crawl(
     batch_ts: str = BATCH_TS,
     use_bloom: bool = True,
     n_bloom_shards: int = bloom.DEFAULT_N_SHARDS,
-    scheduler_window_s: float = 60.0,
     n_salts: int = 4,
+    pages_per_batch: int = 1,
     max_batches: int = 10_000,
     fail_after_batch: int | None = None,
 ) -> CrawlResult:
-    """Run the crawl to frontier exhaustion (or ``max_batches``),
-    committing one snapshot per micro-batch; resumes from the store's
-    last committed batch if one exists."""
+    """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
+    committing one snapshot per window; resumes from the store's last
+    committed batch if one exists."""
     corpus, seeds, robots = world["corpus"], world["seeds"], world["robots"]
     listings = corpus.filter(F.col("page_kind") == "listing")
     articles = corpus.filter(F.col("page_kind") == "article")
     profiles = profiles_df(spark)
+    prof_map = {r["site"]: r.asDict() for r in profiles.collect()}
     inc_arr, exc_arr = keyword_arrays(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
     bts = batch_ts_lit(batch_ts)
+    K = pages_per_batch
     res = CrawlResult()
+
+    # politeness window must admit every due page of the window's hosts
+    max_delay_seeds = max(p["crawl_delay_s"] * 4 for p in prof_map.values())
+    window_s = max(60.0, max_delay_seeds * K * 2)
 
     # ---- resume or init ------------------------------------------------
     if store.last_batch_id >= 0:
@@ -100,98 +115,78 @@ def run_crawl(
                       store.read(spark, "seed_state").orderBy("seed_index").collect()]
         fuzzy_prior = _load_fuzzy(spark, store)
     else:
-        seed_state = _init_seed_state(spark, seeds)
+        seed_state = [{**r.asDict(), "active": True} for r in seeds.orderBy("seed_index").collect()]
         fuzzy_prior = {}
-        store.commit(
-            0,
-            overwrite={
-                "seed_state": spark.createDataFrame(
-                    [tuple(s[k] for k in ("seed_index", "site", "url", "max_pages", "active"))
-                     for s in seed_state],
-                    SEED_STATE_SCHEMA,
-                )
-            },
-            meta={"note": "init"},
-        )
+        store.commit(0, overwrite={"seed_state": _seed_state_df(spark, seed_state)},
+                     meta={"note": "init"})
 
     batch = store.last_batch_id
     while batch < max_batches:
         batch += 1
-        page = batch
-        # A6/page-cap deactivation happens at loop top (oracle order)
+        p0 = (batch - 1) * K + 1
+        p1 = p0 + K - 1
+        # page-cap deactivation at window start (oracle loop-top order)
         for s in seed_state:
-            if s["active"] and s["max_pages"] and page > s["max_pages"]:
+            if s["active"] and s["max_pages"] and p0 > s["max_pages"]:
                 s["active"] = False
         active = [s for s in seed_state if s["active"]]
         if not active:
             break
 
-        # ---- due frontier rows: page `page` of every active seed ------
+        # ---- due frontier rows: the window's pages per active seed -----
+        due_rows = [
+            (f"{s['url']}?page={p}", s["site"], s["seed_index"], p, s["seed_index"])
+            for s in active
+            for p in range(p0, p1 + 1)
+            if not (s["max_pages"] and p > s["max_pages"])
+        ]
         due = spark.createDataFrame(
-            [
-                (
-                    f"{s['url']}?page={page}",
-                    s["site"],
-                    s["seed_index"],
-                    page,
-                    s["seed_index"],  # priority = seed order (C8)
-                )
-                for s in active
-            ],
-            "url_canon string, site string, seed_index int, page int, priority int",
+            due_rows, "url_canon string, site string, seed_index int, page int, priority int"
         ).withColumn("host", F.parse_url(F.col("url_canon"), F.lit("HOST"))) \
          .withColumn("order_key", order_key_col(F.col("page"), F.col("seed_index"), F.lit(0)))
 
-        dispatched = schedule(due, robots, bts, scheduler_window_s, n_salts=n_salts)
+        dispatched = schedule(due, robots, bts, window_s, n_salts=n_salts).persist()
 
         # ---- fetch (replayed corpus join) + parse ----------------------
         fetched = dispatched.select("url_canon", "site", "seed_index", "page").join(
             listings.filter(F.col("http_status") == 200).select("url_canon", "content", "charset"),
-            on="url_canon",
-            how="inner",
+            on="url_canon", how="inner",
         )
         items = parse_listing(fetched).withColumnRenamed("url_canon", "listing_url")
 
-        # ---- gates ------------------------------------------------------
+        # ---- per-row gates (dedup-independent) → pregate ----------------
         cand = items.join(F.broadcast(profiles), on="site", how="inner")
         cand = cand.withColumn(
-            "url_canon",
-            canonicalize_expr(F.col("href"), F.col("origin"), F.col("strip_query")),
+            "url_canon", canonicalize_expr(F.col("href"), F.col("origin"), F.col("strip_query"))
         ).filter(F.col("url_canon").isNotNull())
-        # robots gate on discovered links (C7)
         path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit(""))
-        link_host = F.parse_url(F.col("url_canon"), F.lit("HOST"))
         cand = (
-            cand.withColumn("link_host", link_host)
+            cand.withColumn("link_host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
             .join(F.broadcast(robots.withColumnRenamed("host", "link_host")
                               .select("link_host", "disallow_prefixes")),
                   on="link_host", how="left")
-            .filter(
-                F.col("disallow_prefixes").isNull()
-                | ~F.exists(F.col("disallow_prefixes"), lambda p: path.startswith(p))
-            )
+            .filter(F.col("disallow_prefixes").isNull()
+                    | ~F.exists(F.col("disallow_prefixes"), lambda p: path.startswith(p)))
             .drop("disallow_prefixes")
         )
         cand = cand.withColumn(
             "order_key", order_key_col(F.col("page"), F.col("seed_index"), F.col("dom_pos"))
         )
-        # D2: in-batch first occurrence wins (acceptance attributed there)
-        w = Window.partitionBy("url_canon").orderBy("order_key")
-        cand = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
-        # D1: cross-batch seen (Bloom-routed exact anti-join)
+        # D1: cross-batch seen — seen rows can neither accept nor claim
+        # first-occurrence, so dropping them entirely is exact
         seen = store.read(spark, "seen")
         shards = store.read(spark, "bloom_shards") if use_bloom else None
         if seen is not None:
-            cand = bloom.dedup_new(cand, seen, shards)
+            cand = bloom.dedup_new(cand, seen, shards, n_shards=n_bloom_shards)
 
-        # ---- article-detail join where the profile needs it (S3/P3) ----
-        need_detail = F.col("time_source") == "article"  # detail_before_filter ⊆ this set
+        # S3/P3: article detail where the profile needs it
+        need_detail = F.col("time_source") == "article"  # detail_before_filter ⊆ this
         cand_urls = cand.filter(need_detail).select("url_canon")
-        detail_pages = articles.join(cand_urls, on="url_canon", how="left_semi")
-        detail = parse_article(detail_pages.filter(F.col("http_status") == 200)).withColumnRenamed(
-            "url_canon", "d_url"
-        )
+        detail = parse_article(
+            articles.join(cand_urls, on="url_canon", how="left_semi")
+            .filter(F.col("http_status") == 200)
+        ).withColumnRenamed("url_canon", "d_url")
         art_status = articles.select(
             F.col("url_canon").alias("d_url"), F.col("http_status").alias("a_status")
         )
@@ -200,9 +195,7 @@ def run_crawl(
             .join(detail, cand["url_canon"] == detail["d_url"], "left").drop("d_url")
         )
         detail_ok = F.col("a_status").isNotNull() & (F.col("a_status") == 200)
-        cand = cand.filter(~need_detail | detail_ok)
 
-        # ---- relevance (R1-R4) -----------------------------------------
         match_text = (
             F.when(F.col("match_input") == "title_lead",
                    F.concat_ws(" ", F.col("title"), F.col("lead")))
@@ -210,86 +203,100 @@ def run_crawl(
                   F.concat_ws(" ", F.col("title"), F.coalesce(F.col("d_summary"), F.lit(""))))
             .otherwise(F.col("title"))
         )
-        cand = cand.filter(
-            relevance_expr(match_text, F.col("relevance_variant"), F.col("use_exclude"),
-                           inc_arr, exc_arr, F.col("min_include"))
+        rel_ok = relevance_expr(match_text, F.col("relevance_variant"), F.col("use_exclude"),
+                                inc_arr, exc_arr, F.col("min_include"))
+        time_str = F.when(F.col("time_source") == "article", F.col("d_time_str")).otherwise(
+            F.col("time_str"))
+        ts_col = parse_time_expr(time_str, F.col("time_chain"), bts)
+        fresh_ok = freshness_filter_expr(ts_col, bts, F.col("freshness_days"))
+        row_ok = (~need_detail | detail_ok) & rel_ok & ts_col.isNotNull() & fresh_ok
+
+        pregate = cand.withColumn("ts", ts_col).withColumn("row_ok", row_ok).persist()
+
+        # ---- per-(seed,page) item counts (A6 empty-page rule input) -----
+        item_counts: dict[tuple[int, int], int] = {
+            (r["seed_index"], r["page"]): r["n"]
+            for r in items.groupBy("seed_index", "page").agg(F.count("*").alias("n")).collect()
+        }
+
+        # ---- driver-side stop replay (exact A6 for stop_on_empty sites) -
+        limits = _stop_replay(
+            spark, pregate, active, prof_map, item_counts, p0, p1
         )
 
-        # ---- time normalize (T1-T5) + T8 drop + T6 freshness ------------
-        time_str = F.when(F.col("time_source") == "article", F.col("d_time_str")).otherwise(
-            F.col("time_str")
+        # ---- mask + in-window first-occurrence dedup (D2) ---------------
+        limit_rows = [(s["seed_index"], limits[s["seed_index"]]) for s in active]
+        limit_df = spark.createDataFrame(limit_rows, "seed_index int, page_limit int")
+        masked = pregate.join(F.broadcast(limit_df), on="seed_index").filter(
+            F.col("page") <= F.col("page_limit")
         )
-        cand = cand.withColumn("ts", parse_time_expr(time_str, F.col("time_chain"), bts))
-        cand = cand.filter(F.col("ts").isNotNull())
-        cand = cand.filter(
-            freshness_filter_expr(F.col("ts"), bts, F.col("freshness_days"))
+        # first occurrence among ACCEPTABLE rows only — the oracle claims a
+        # URL on accept; a rejected earlier occurrence never blocks
+        w = Window.partitionBy("url_canon").orderBy("order_key")
+        first_occ = (
+            masked.filter(F.col("row_ok"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
         )
 
         # ---- fuzzy replay for fuzzy-profile sites (D4, last gate) -------
-        fuzzy_cand = cand.filter(F.col("fuzzy_dedup"))
-        plain = cand.filter(~F.col("fuzzy_dedup"))
+        fuzzy_cand = first_occ.filter(F.col("fuzzy_dedup"))
+        plain = first_occ.filter(~F.col("fuzzy_dedup"))
         gated = fuzzy_gate(
             fuzzy_cand.select("site", "order_key", "url_canon", "title"), fuzzy_prior
         ).filter(F.col("fuzzy_ok")).select("url_canon")
         accepted = plain.unionByName(
-            fuzzy_cand.join(gated, on="url_canon", how="left_semi"),
-            allowMissingColumns=False,
+            fuzzy_cand.join(gated, on="url_canon", how="left_semi")
         ).persist()
 
         # ---- document assembly (P4) --------------------------------------
-        has_detail = need_detail  # detail dict non-empty iff fetched (oracle)
-        summary = F.when(has_detail, F.coalesce(F.col("d_summary"), F.lit(""))).otherwise(F.lit(""))
+        summary = F.when(need_detail, F.coalesce(F.col("d_summary"), F.lit(""))).otherwise(F.lit(""))
         img_raw = F.when(
-            has_detail,
-            F.coalesce(F.nullif(F.col("d_img"), F.lit("")), F.col("img")),
+            need_detail, F.coalesce(F.nullif(F.col("d_img"), F.lit("")), F.col("img"))
         ).otherwise(F.col("img"))
-        img_canon = F.when(
-            img_raw.isNull() | (img_raw == ""), F.lit("")
-        ).otherwise(
+        img_canon = F.when(img_raw.isNull() | (img_raw == ""), F.lit("")).otherwise(
             F.coalesce(canonicalize_expr(img_raw, F.col("origin"), F.lit(False)), F.lit(""))
         )
         docs = accepted.select(
             F.md5(F.col("url_canon")).alias("doc_id"),
             build_spans(F.col("title"), summary, img_canon).alias("spans"),
-            F.col("url_canon"),
-            F.col("site"),
-            F.col("ts"),
+            F.col("url_canon"), F.col("site"), F.col("ts"),
             F.col("order_key").alias("crawl_order"),
             F.lit(batch).alias("batch_id"),
-            F.col("seed_index"),
-            F.col("page"),
+            F.col("seed_index"), F.col("page"),
         ).persist()
 
-        # ---- per-seed accept/item counts drive pagination (A6) ----------
-        n_items = {r["seed_index"]: r["n"] for r in
-                   items.groupBy("seed_index").agg(F.count("*").alias("n")).collect()}
-        n_acc = {r["seed_index"]: r["n"] for r in
-                 docs.groupBy("seed_index").agg(F.count("*").alias("n")).collect()}
+        # ---- pagination state for next window -----------------------------
+        acc_counts = {
+            (r["seed_index"], r["page"]): r["n"]
+            for r in docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).collect()
+        }
+        n_accepted = sum(acc_counts.values())
+        n_items_total = sum(item_counts.values())
         n_disp = dispatched.count()
-        n_items_total = sum(n_items.values())
-        n_accepted = docs.count()
-
         for s in active:
             si = s["seed_index"]
-            if n_items.get(si, 0) == 0:
-                s["active"] = False
-            elif n_acc.get(si, 0) == 0 and _prof(profiles, s["site"], "stop_on_empty"):
-                s["active"] = False
+            last_due = min(p1, s["max_pages"]) if s["max_pages"] else p1
+            if limits[si] < last_due:
+                s["active"] = False  # stop rule fired inside the window
+            elif item_counts.get((si, last_due), 0) == 0:
+                s["active"] = False  # final window page was empty
+            elif (prof_map[s["site"]]["stop_on_empty"]
+                  and acc_counts.get((si, last_due), 0) == 0):
+                s["active"] = False  # final page accepted nothing
 
         # ---- fuzzy title state update ------------------------------------
-        new_fuzzy = (
+        for r in (
             accepted.filter(F.col("fuzzy_dedup"))
-            .select(
-                "site",
-                F.regexp_replace(F.lower(F.col("title")), r"\s+", "").alias("norm_title"),
-                F.col("order_key").alias("seq"),
-            )
-        )
-        fuzzy_rows = new_fuzzy.orderBy("seq").collect()
-        for r in fuzzy_rows:
+            .select("site",
+                    F.regexp_replace(F.lower(F.col("title")), r"\s+", "").alias("norm_title"),
+                    F.col("order_key").alias("seq"))
+            .orderBy("seq").collect()
+        ):
             fuzzy_prior.setdefault(r["site"], []).append(r["norm_title"])
 
-        # ---- per-partition lineage/metrics (north rule) ------------------
+        # ---- per-partition lineage/metrics (north rule) -------------------
         part_metrics = docs.groupBy(F.spark_partition_id().alias("partition_id")).agg(
             F.count("*").alias("rows_out")
         ).select(
@@ -300,19 +307,20 @@ def run_crawl(
             F.col("rows_out").cast("long"),
             F.lit(0).cast("long").alias("wall_ms"),
         )
-        stage_rows = [
-            (batch, "dispatch", -1, len(active), n_disp, 0),
-            (batch, "parse", -1, n_disp, n_items_total, 0),
-            (batch, "accept", -1, n_items_total, n_accepted, 0),
-        ]
-        metrics = spark.createDataFrame(stage_rows, METRICS_SCHEMA).unionByName(part_metrics)
+        metrics = spark.createDataFrame(
+            [
+                (batch, "dispatch", -1, len(due_rows), n_disp, 0),
+                (batch, "parse", -1, n_disp, n_items_total, 0),
+                (batch, "accept", -1, n_items_total, n_accepted, 0),
+            ],
+            METRICS_SCHEMA,
+        ).unionByName(part_metrics)
 
-        # ---- frontier bookkeeping ----------------------------------------
+        # ---- frontier bookkeeping ------------------------------------------
         frontier_pending = spark.createDataFrame(
             [
-                (f"{s['url']}?page={page + 1}", s["site"], s["seed_index"], page + 1, "pending")
-                for s in seed_state
-                if s["active"]
+                (f"{s['url']}?page={p1 + 1}", s["site"], s["seed_index"], p1 + 1, "pending")
+                for s in seed_state if s["active"]
             ] or [("", "", -1, -1, "none")],
             "url_canon string, site string, seed_index int, page int, status string",
         ).filter(F.col("seed_index") >= 0)
@@ -320,14 +328,10 @@ def run_crawl(
             "url_canon", "site", "seed_index", "page", "next_fetch_after"
         ).withColumn("status", F.lit("fetched")).withColumn("batch_id", F.lit(batch))
 
-        # ---- atomic snapshot commit (C6) ----------------------------------
+        # ---- atomic snapshot commit (C6) ------------------------------------
         seen_delta = docs.select("url_canon")
         overwrite = {
-            "seed_state": spark.createDataFrame(
-                [tuple(s[k] for k in ("seed_index", "site", "url", "max_pages", "active"))
-                 for s in seed_state],
-                SEED_STATE_SCHEMA,
-            ),
+            "seed_state": _seed_state_df(spark, seed_state),
             "frontier_pending": frontier_pending,
             "fuzzy_titles": spark.createDataFrame(
                 [(site, t, i) for site, ts_ in fuzzy_prior.items() for i, t in enumerate(ts_)]
@@ -339,8 +343,8 @@ def run_crawl(
             delta_shards = bloom.build_shards(seen_delta, n_shards=n_bloom_shards, version=batch)
             prev_shards = store.read(spark, "bloom_shards")
             overwrite["bloom_shards"] = (
-                bloom.merge_shards(prev_shards, delta_shards) if prev_shards is not None
-                else delta_shards
+                bloom.merge_shards(prev_shards, delta_shards)
+                if prev_shards is not None else delta_shards
             )
         store.commit(
             batch,
@@ -351,31 +355,106 @@ def run_crawl(
                 "frontier_log": frontier_log,
                 "metrics": metrics,
             },
-            meta={"page": page, "active_seeds": sum(1 for s in seed_state if s["active"])},
+            meta={"pages": [p0, p1], "active_seeds": sum(1 for s in seed_state if s["active"])},
         )
-        docs.unpersist()
-        accepted.unpersist()
+        for df in (docs, accepted, pregate, dispatched):
+            df.unpersist()
 
         res.batches += 1
         res.dispatched += n_disp
         res.items += n_items_total
         res.accepted += n_accepted
+        res.frontier_rows += n_disp + n_accepted + len(due_rows)
         res.per_batch.append(
-            {"batch": batch, "dispatched": n_disp, "items": n_items_total, "accepted": n_accepted}
+            {"batch": batch, "pages": [p0, p1], "dispatched": n_disp,
+             "items": n_items_total, "accepted": n_accepted}
         )
         if fail_after_batch is not None and batch >= fail_after_batch:
             raise InjectedFailure(f"injected failure after batch {batch}")
     return res
 
 
-_PROF_CACHE: dict[str, dict] = {}
+# ---------------------------------------------------------------- helpers
+
+def _seed_state_df(spark: SparkSession, seed_state: list[dict]) -> DataFrame:
+    return spark.createDataFrame(
+        [tuple(s[k] for k in ("seed_index", "site", "url", "max_pages", "active"))
+         for s in seed_state],
+        SEED_STATE_SCHEMA,
+    )
 
 
-def _prof(profiles: DataFrame, site: str, fieldname: str):
-    if not _PROF_CACHE:
-        for r in profiles.collect():
-            _PROF_CACHE[r["site"]] = r.asDict()
-    return _PROF_CACHE[site][fieldname]
+def _stop_replay(
+    spark: SparkSession,
+    pregate: DataFrame,
+    active: list[dict],
+    prof_map: dict[str, dict],
+    item_counts: dict[tuple[int, int], int],
+    p0: int,
+    p1: int,
+) -> dict[int, int]:
+    """Exact per-seed page limits for this window.
+
+    Non-stop-on-empty seeds stop only on an empty/missing page (or page
+    cap). Stop-on-empty sites additionally stop on a page with items but
+    zero accepts — acceptance depends on in-window URL claims, which
+    never cross sites, so the sequential rule is replayed driver-side
+    over ONLY those sites' window candidates: bounded by
+    pages_per_batch × seeds × items/page, independent of corpus size
+    (SURVEY §2.7 A6; Gukje_Crawler.py:149-151, Nate_Crawler.py:190-192).
+    """
+    limits: dict[int, int] = {}
+    soe_sites = {s["site"] for s in active if prof_map[s["site"]]["stop_on_empty"]}
+    by_site_seed: dict[str, list[dict]] = defaultdict(list)
+    for s in active:
+        by_site_seed[s["site"]].append(s)
+
+    # empty-page limits apply to every seed
+    for s in active:
+        si = s["seed_index"]
+        last = min(p1, s["max_pages"]) if s["max_pages"] else p1
+        lim = last
+        for p in range(p0, last + 1):
+            if item_counts.get((si, p), 0) == 0:
+                lim = p  # page p processed (empty) then stop
+                break
+        limits[si] = lim
+
+    if not soe_sites:
+        return limits
+
+    rows = (
+        pregate.filter(F.col("site").isin(list(soe_sites)))
+        .select("site", "seed_index", "page", "dom_pos", "url_canon", "row_ok")
+        .collect()
+    )
+    per_cell: dict[tuple[int, int], list] = defaultdict(list)
+    for r in rows:
+        per_cell[(r["seed_index"], r["page"])].append(r)
+
+    for site in sorted(soe_sites):
+        site_seeds = sorted(by_site_seed[site], key=lambda s: s["seed_index"])
+        claimed: set[str] = set()
+        stopped: set[int] = set()
+        for p in range(p0, p1 + 1):
+            for s in site_seeds:
+                si = s["seed_index"]
+                if si in stopped or p > limits[si]:
+                    continue
+                if item_counts.get((si, p), 0) == 0:
+                    stopped.add(si)  # limit already set by empty-page pass
+                    continue
+                acc = 0
+                for r in sorted(per_cell.get((si, p), []), key=lambda r: r["dom_pos"]):
+                    if r["url_canon"] in claimed:
+                        continue
+                    if r["row_ok"]:
+                        claimed.add(r["url_canon"])
+                        acc += 1
+                if acc == 0:
+                    limits[si] = min(limits[si], p)
+                    stopped.add(si)
+    return limits
 
 
 def _load_fuzzy(spark: SparkSession, store: SnapshotStore) -> dict[str, list[str]]:

@@ -8,10 +8,12 @@ from news_crawler_spark.plans.crawl import run_crawl
 from news_crawler_spark.sources.store import SnapshotStore
 
 
-@pytest.fixture(scope="module")
-def crawl_run(spark, world, tmp_path_factory):
+@pytest.fixture(scope="module", params=[1, 8], ids=["K1", "K8"])
+def crawl_run(spark, world, tmp_path_factory, request):
+    """Parity must hold at both cadences: K=1 (the reference's
+    page-at-a-time politeness cadence) and K=8 (windowed scale mode)."""
     store = SnapshotStore(str(tmp_path_factory.mktemp("store")))
-    res = run_crawl(spark, world, store, use_bloom=True)
+    res = run_crawl(spark, world, store, use_bloom=True, pages_per_batch=request.param)
     return store, res
 
 

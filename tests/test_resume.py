@@ -20,14 +20,15 @@ def _final_state(spark, store):
 
 def test_kill_resume_equals_uninterrupted(spark, world, tmp_path):
     s_full = SnapshotStore(str(tmp_path / "full"))
-    run_crawl(spark, world, s_full, use_bloom=False)
+    run_crawl(spark, world, s_full, use_bloom=False, pages_per_batch=2)
 
     s_killed = SnapshotStore(str(tmp_path / "killed"))
     with pytest.raises(InjectedFailure):
-        run_crawl(spark, world, s_killed, use_bloom=False, fail_after_batch=2)
-    assert s_killed.last_batch_id == 2
+        run_crawl(spark, world, s_killed, use_bloom=False, pages_per_batch=2,
+                  fail_after_batch=1)
+    assert s_killed.last_batch_id == 1
     # resume — picks up from the last committed snapshot
-    run_crawl(spark, world, s_killed, use_bloom=False)
+    run_crawl(spark, world, s_killed, use_bloom=False, pages_per_batch=2)
 
     assert _final_state(spark, s_full) == _final_state(spark, s_killed)
 
