@@ -605,7 +605,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "d02_minhash_lsh": f"""
-            WITH w AS (SELECT doc_id AS id, {_WS} AS ws FROM documents),
+            WITH toks AS (SELECT doc_id AS id,
+                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+            w AS (SELECT id,
+                         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                         END AS ws
+                  FROM toks),
             s AS (SELECT id, ws, [{_MINHASH_SIG}] AS sig FROM w),
             b AS (SELECT id, ws, t.band_id,
                          md5(sig[2*t.band_id + 1] || '|' || sig[2*t.band_id + 2]) AS band_hash

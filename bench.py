@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {...}}
+
+Covers (a) headline analytical queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and (b) the crawl
+pipeline's sustained throughput (fetched-URLs/sec + frontier-update
+rows/sec — the BASELINE.json target metric) on a deterministic synthetic
+world. Runs on local[$SPARK_GRAFT_CPUS] (default all cores).
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/scaling_bench.py → BENCH/BASELINE.md (separate JVMs per
+parallelism level; a single process can't honestly measure both).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "q06_top_order_per_customer",
+    "q15_url_canonicalize",
+    "q16_bloom_dedup",
+    "d01_dedup_exact",
+    "d02_minhash_lsh",
+    "d03_simhash",
+    "e01_cosine_topk",
+    "e03_ivf_ann",
+    "t02_quality",
+]
+
+CRAWL_SCALE = float(os.environ.get("BENCH_CRAWL_SCALE", "2"))
+CRAWL_MULT = int(os.environ.get("BENCH_CRAWL_MULT", "24"))  # frontier breadth (hosts)
+CRAWL_K = int(os.environ.get("BENCH_CRAWL_K", "36"))        # pages per micro-batch window
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from news_crawler_spark.plans.crawl import run_crawl
+    from news_crawler_spark.session import get_spark
+    from news_crawler_spark.sources.store import SnapshotStore
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench", extra_conf={"spark.sql.ansi.enabled": "false"})
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # ---- crawl throughput ------------------------------------------------
+    # world on parquet (columnar scans + page_kind partition pruning) —
+    # the deployment shape; a driver-held corpus would re-ship per scan
+    from news_crawler_spark.sources.world import read_world, write_world
+
+    tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    write_world(spark, f"{tmp}/world", CRAWL_SCALE, distributed=True, site_mult=CRAWL_MULT)
+    world = read_world(spark, f"{tmp}/world")
+    store = SnapshotStore(f"{tmp}/store")
+    t0 = time.time()
+    res = run_crawl(spark, world, store, use_bloom=True, pages_per_batch=CRAWL_K)
+    crawl_wall = time.time() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    fetched = res.dispatched + res.accepted  # listing + article-detail fetches
+    crawl = {
+        "scale": CRAWL_SCALE,
+        "site_mult": CRAWL_MULT,
+        "pages_per_batch": CRAWL_K,
+        "batches": res.batches,
+        "listing_fetches": res.dispatched,
+        "docs_accepted": res.accepted,
+        "items_parsed": res.items,
+        "wall_s": round(crawl_wall, 2),
+        "fetched_urls_per_sec": round(fetched / crawl_wall, 1),
+        "frontier_update_rows_per_sec": round(res.frontier_rows / crawl_wall, 1),
+    }
+    timings["crawl_pipeline"] = round(crawl_wall, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "crawl": crawl,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,3 +86,34 @@ PROFILE_BY_SITE: dict[str, SiteProfile] = {p.site: p for p in PROFILES}
 
 SITE_HOST = {p.site: f"www.{p.site}-news.example.com" for p in PROFILES}
 SITE_ORIGIN = {s: f"https://{h}" for s, h in SITE_HOST.items()}
+
+
+# Virtual sites ("daum#3") clone a base profile under a distinct host —
+# the bench's frontier-breadth knob (a web-scale frontier grows in hosts,
+# not pages-per-seed). Base sites keep their exact names/hosts so the
+# parity oracle and tests are unaffected at multiplier 1.
+
+def base_site(site: str) -> str:
+    return site.split("#", 1)[0]
+
+
+def profile_of(site: str) -> SiteProfile:
+    return PROFILE_BY_SITE[base_site(site)]
+
+
+def host_of(site: str) -> str:
+    return f"www.{site.replace('#', '-x')}-news.example.com"
+
+
+def origin_of(site: str) -> str:
+    return "https://" + host_of(site)
+
+
+def virtual_sites(site_mult: int) -> list[str]:
+    """All site names for a world with the given multiplier, in
+    (replica, profile) order so seed_index stays profile-major."""
+    out = []
+    for m in range(site_mult):
+        for p in PROFILES:
+            out.append(p.site if m == 0 else f"{p.site}#{m}")
+    return out

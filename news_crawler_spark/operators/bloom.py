@@ -130,17 +130,60 @@ def probe(candidates: DataFrame, shards: DataFrame, url_col: str = "url_canon",
     return candidates.join(flags, on=url_col, how="left").fillna({"maybe_seen": True})
 
 
+BROADCAST_SHARD_BYTES = 64 << 20  # ≤64 MiB of filter → ship in the UDF closure
+
+
+def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
+                    url_col: str = "url_canon") -> DataFrame:
+    """Small-filter probe: shard bits ride the UDF closure (scalar pandas
+    UDF, fuses into the existing stage — zero extra shuffles). The
+    cogrouped ``probe`` is the big-filter path; same bit semantics.
+    ``n_shards`` is the CONFIGURED shard count (routing modulus) — the
+    committed rows may cover fewer shards (empty shards are absent)."""
+    shard_bits = {int(r["shard_id"]): np.frombuffer(r["bits"], dtype=np.uint8)
+                  for r in shard_rows}
+    n_bits = np.uint64(int(shard_rows[0]["n_bits"]))
+    k = int(shard_rows[0]["n_hashes"])
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def bloom_maybe_seen(urls: pd.Series) -> pd.Series:
+        h1, h2 = _h12(urls)
+        sid = h1 % np.uint64(n_shards)
+        # urls routed to a shard with no committed bits are definitely new
+        hit = np.isin(sid, np.array(list(shard_bits), dtype=np.uint64))
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % n_bits
+            byte_i = (pos >> 3).astype(np.int64)
+            mask = (1 << (pos & 7)).astype(np.uint8)
+            for s, bits in shard_bits.items():
+                m = sid == np.uint64(s)
+                if m.any():
+                    hit[m] &= (bits[byte_i[m]] & mask[m]) != 0
+        return pd.Series(hit)
+
+    return candidates.withColumn("maybe_seen", bloom_maybe_seen(F.col(url_col)))
+
+
 def dedup_new(candidates: DataFrame, seen: DataFrame, shards: DataFrame | None,
               url_col: str = "url_canon", n_shards: int = DEFAULT_N_SHARDS) -> DataFrame:
     """D1: rows of candidates whose URL is not in seen.
 
     With shards: bloom-negative rows pass directly (no join); only
-    bloom-positive rows pay the exact anti-join. Without shards: plain
-    left_anti (the small-scale path).
+    bloom-positive rows pay the exact anti-join. Small filters ship via
+    the UDF closure (no routing shuffle); big filters use the cogrouped
+    per-shard probe. Without shards: plain left_anti.
     """
     if shards is None:
         return candidates.join(seen, on=url_col, how="left_anti")
-    flagged = probe(candidates, shards, url_col, n_shards)
+    shard_rows = None
+    first = shards.select("n_bits").first()
+    if first is not None and int(first["n_bits"]) // 8 * n_shards <= BROADCAST_SHARD_BYTES:
+        shard_rows = shards.collect()
+    if shard_rows:
+        flagged = probe_broadcast(candidates, shard_rows, n_shards, url_col)
+    else:
+        flagged = probe(candidates, shards, url_col, n_shards)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(seen, on=url_col, how="left_anti")

@@ -37,7 +37,8 @@ LISTING_OUT_SCHEMA = (
     "dom_pos int, href string, title string, lead string, time_str string, img string"
 )
 ARTICLE_OUT_SCHEMA = (
-    "url_canon string, d_title string, d_time_str string, d_summary string, d_img string"
+    "url_canon string, a_status int, d_title string, d_time_str string, "
+    "d_summary string, d_img string"
 )
 
 
@@ -76,22 +77,29 @@ def parse_listing(pages: DataFrame) -> DataFrame:
 
 
 def parse_article(pages: DataFrame) -> DataFrame:
-    """P3: corpus article pages → one detail row per page.
+    """P3: corpus article pages → one detail row per page, carrying
+    http_status so the caller needs a single join (C5 failure routing:
+    non-200 pages keep NULL fields and are rejected downstream).
 
-    Input columns: url_canon, content, charset.
+    Input columns: url_canon, http_status, content, charset.
     """
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
-            text = _decode(pdf["content"], pdf["charset"])
-            hits = text.str.extract(ARTICLE_PAT)
-            out = pd.concat([pdf[["url_canon"]].reset_index(drop=True),
-                             hits.reset_index(drop=True)], axis=1)
+            ok = pdf["http_status"] == 200
+            text = _decode(pdf.loc[ok, "content"], pdf.loc[ok, "charset"])
+            hits = text.str.extract(ARTICLE_PAT) if ok.any() else pd.DataFrame()
+            out = pdf[["url_canon", "http_status"]].rename(
+                columns={"http_status": "a_status"}
+            ).reset_index(drop=True)
+            hits = hits.reindex(pdf.index).reset_index(drop=True)
+            for c in ("d_title", "d_time_str", "d_summary", "d_img"):
+                out[c] = hits[c] if c in hits else None
             # pages whose markup has no <article> element yield NULL fields
             yield out
 
-    return pages.select("url_canon", "content", "charset").mapInPandas(
+    return pages.select("url_canon", "http_status", "content", "charset").mapInPandas(
         gen, schema=ARTICLE_OUT_SCHEMA
     )

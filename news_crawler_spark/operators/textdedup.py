@@ -46,13 +46,14 @@ def word_set_expr(text: Column) -> Column:
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), distinct."""
+    """Word n-gram shingles (space-joined), distinct; docs shorter than n
+    tokens collapse to one whole-doc shingle."""
     toks = tokens_expr(F.lower(text))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
-    return F.array_distinct(grams)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(F.array_distinct(grams))
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -84,14 +85,20 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     verify_jaccard: float = 0.9,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs (a < b) via banded MinHash-LSH, verified by exact
-    word-set Jaccard ≥ ``verify_jaccard``. Output: (a, b, jac)."""
+    """Near-dup pairs (a < b) via banded MinHash-LSH over word n-gram
+    shingles, verified by exact shingle-set Jaccard ≥ ``verify_jaccard``.
+    Output: (a, b, jac). Shingles (not unigrams) keep LSH buckets
+    selective on topically-homogeneous corpora — unigram word sets of
+    same-domain documents collide massively and the bucket join goes
+    quadratic."""
     n_bands = n_hashes // band_size
+    sh = shingles_expr(F.col(text_col), shingle_n)
     sigs = docs.select(
         F.col(id_col).alias("id"),
-        word_set_expr(F.col(text_col)).alias("ws"),
-        minhash_signature_expr(word_set_expr(F.col(text_col)), n_hashes).alias("sig"),
+        sh.alias("ws"),
+        minhash_signature_expr(sh, n_hashes).alias("sig"),
     )
     banded = sigs.select(
         "id",

@@ -41,6 +41,7 @@ page_kind partition column.
 
 from __future__ import annotations
 
+import time
 from collections import defaultdict
 from dataclasses import dataclass, field
 
@@ -98,16 +99,10 @@ def run_crawl(
     corpus, seeds, robots = world["corpus"], world["seeds"], world["robots"]
     listings = corpus.filter(F.col("page_kind") == "listing")
     articles = corpus.filter(F.col("page_kind") == "article")
-    profiles = profiles_df(spark)
-    prof_map = {r["site"]: r.asDict() for r in profiles.collect()}
     inc_arr, exc_arr = keyword_arrays(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
     bts = batch_ts_lit(batch_ts)
     K = pages_per_batch
     res = CrawlResult()
-
-    # politeness window must admit every due page of the window's hosts
-    max_delay_seeds = max(p["crawl_delay_s"] * 4 for p in prof_map.values())
-    window_s = max(60.0, max_delay_seeds * K * 2)
 
     # ---- resume or init ------------------------------------------------
     if store.last_batch_id >= 0:
@@ -119,6 +114,14 @@ def run_crawl(
         fuzzy_prior = {}
         store.commit(0, overwrite={"seed_state": _seed_state_df(spark, seed_state)},
                      meta={"note": "init"})
+
+    world_sites = sorted({s["site"] for s in seed_state})
+    profiles = profiles_df(spark, world_sites)
+    prof_map = {r["site"]: r.asDict() for r in profiles.collect()}
+
+    # politeness window must admit every due page of the window's hosts
+    max_delay_seeds = max(p["crawl_delay_s"] * 4 for p in prof_map.values())
+    window_s = max(60.0, max_delay_seeds * K * 2)
 
     batch = store.last_batch_id
     while batch < max_batches:
@@ -152,7 +155,7 @@ def run_crawl(
             listings.filter(F.col("http_status") == 200).select("url_canon", "content", "charset"),
             on="url_canon", how="inner",
         )
-        items = parse_listing(fetched).withColumnRenamed("url_canon", "listing_url")
+        items = parse_listing(fetched).withColumnRenamed("url_canon", "listing_url").persist()
 
         # ---- per-row gates (dedup-independent) → pregate ----------------
         cand = items.join(F.broadcast(profiles), on="site", how="inner")
@@ -180,20 +183,14 @@ def run_crawl(
         if seen is not None:
             cand = bloom.dedup_new(cand, seen, shards, n_shards=n_bloom_shards)
 
-        # S3/P3: article detail where the profile needs it
+        # S3/P3: article detail where the profile needs it (single join;
+        # parse carries http_status — C5 failure routing)
         need_detail = F.col("time_source") == "article"  # detail_before_filter ⊆ this
         cand_urls = cand.filter(need_detail).select("url_canon")
         detail = parse_article(
             articles.join(cand_urls, on="url_canon", how="left_semi")
-            .filter(F.col("http_status") == 200)
         ).withColumnRenamed("url_canon", "d_url")
-        art_status = articles.select(
-            F.col("url_canon").alias("d_url"), F.col("http_status").alias("a_status")
-        )
-        cand = (
-            cand.join(art_status, cand["url_canon"] == art_status["d_url"], "left").drop("d_url")
-            .join(detail, cand["url_canon"] == detail["d_url"], "left").drop("d_url")
-        )
+        cand = cand.join(detail, cand["url_canon"] == detail["d_url"], "left").drop("d_url")
         detail_ok = F.col("a_status").isNotNull() & (F.col("a_status") == 200)
 
         match_text = (
@@ -213,16 +210,25 @@ def run_crawl(
 
         pregate = cand.withColumn("ts", ts_col).withColumn("row_ok", row_ok).persist()
 
+        stage_wall: dict[str, int] = {}
+
+        def _clock(stage: str, t0: float) -> None:
+            stage_wall[stage] = int((time.time() - t0) * 1000)
+
         # ---- per-(seed,page) item counts (A6 empty-page rule input) -----
+        t0 = time.time()
         item_counts: dict[tuple[int, int], int] = {
             (r["seed_index"], r["page"]): r["n"]
             for r in items.groupBy("seed_index", "page").agg(F.count("*").alias("n")).collect()
         }
+        _clock("parse_items", t0)
 
         # ---- driver-side stop replay (exact A6 for stop_on_empty sites) -
+        t0 = time.time()
         limits = _stop_replay(
             spark, pregate, active, prof_map, item_counts, p0, p1
         )
+        _clock("pregate_stop_replay", t0)
 
         # ---- mask + in-window first-occurrence dedup (D2) ---------------
         limit_rows = [(s["seed_index"], limits[s["seed_index"]]) for s in active]
@@ -268,6 +274,7 @@ def run_crawl(
         ).persist()
 
         # ---- pagination state for next window -----------------------------
+        t0 = time.time()
         acc_counts = {
             (r["seed_index"], r["page"]): r["n"]
             for r in docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).collect()
@@ -275,6 +282,7 @@ def run_crawl(
         n_accepted = sum(acc_counts.values())
         n_items_total = sum(item_counts.values())
         n_disp = dispatched.count()
+        _clock("accept_counts", t0)
         for s in active:
             si = s["seed_index"]
             last_due = min(p1, s["max_pages"]) if s["max_pages"] else p1
@@ -286,14 +294,15 @@ def run_crawl(
                   and acc_counts.get((si, last_due), 0) == 0):
                 s["active"] = False  # final page accepted nothing
 
-        # ---- fuzzy title state update ------------------------------------
-        for r in (
+        # ---- fuzzy title state update (driver sorts the tiny slice) ------
+        fuzzy_rows = (
             accepted.filter(F.col("fuzzy_dedup"))
             .select("site",
                     F.regexp_replace(F.lower(F.col("title")), r"\s+", "").alias("norm_title"),
                     F.col("order_key").alias("seq"))
-            .orderBy("seq").collect()
-        ):
+            .collect()
+        )
+        for r in sorted(fuzzy_rows, key=lambda r: r["seq"]):
             fuzzy_prior.setdefault(r["site"], []).append(r["norm_title"])
 
         # ---- per-partition lineage/metrics (north rule) -------------------
@@ -309,9 +318,11 @@ def run_crawl(
         )
         metrics = spark.createDataFrame(
             [
-                (batch, "dispatch", -1, len(due_rows), n_disp, 0),
-                (batch, "parse", -1, n_disp, n_items_total, 0),
-                (batch, "accept", -1, n_items_total, n_accepted, 0),
+                (batch, "dispatch", -1, len(due_rows), n_disp,
+                 stage_wall.get("pregate_stop_replay", 0)),
+                (batch, "parse", -1, n_disp, n_items_total, stage_wall.get("parse_items", 0)),
+                (batch, "accept", -1, n_items_total, n_accepted,
+                 stage_wall.get("accept_counts", 0)),
             ],
             METRICS_SCHEMA,
         ).unionByName(part_metrics)
@@ -346,6 +357,7 @@ def run_crawl(
                 bloom.merge_shards(prev_shards, delta_shards)
                 if prev_shards is not None else delta_shards
             )
+        t0 = time.time()
         store.commit(
             batch,
             overwrite=overwrite,
@@ -357,7 +369,8 @@ def run_crawl(
             },
             meta={"pages": [p0, p1], "active_seeds": sum(1 for s in seed_state if s["active"])},
         )
-        for df in (docs, accepted, pregate, dispatched):
+        _clock("commit", t0)
+        for df in (docs, accepted, pregate, items, dispatched):
             df.unpersist()
 
         res.batches += 1
@@ -367,7 +380,7 @@ def run_crawl(
         res.frontier_rows += n_disp + n_accepted + len(due_rows)
         res.per_batch.append(
             {"batch": batch, "pages": [p0, p1], "dispatched": n_disp,
-             "items": n_items_total, "accepted": n_accepted}
+             "items": n_items_total, "accepted": n_accepted, "wall_ms": stage_wall}
         )
         if fail_after_batch is not None and batch >= fail_after_batch:
             raise InjectedFailure(f"injected failure after batch {batch}")
@@ -423,9 +436,13 @@ def _stop_replay(
     if not soe_sites:
         return limits
 
+    # Only row_ok rows can claim a URL or count toward acceptance; rejected
+    # rows are no-ops in the sequential rule (empty-page detection uses
+    # item_counts, gathered separately) — so the collect is bounded by the
+    # SOE sites' ACCEPTABLE rows, a small fraction of window items.
     rows = (
-        pregate.filter(F.col("site").isin(list(soe_sites)))
-        .select("site", "seed_index", "page", "dom_pos", "url_canon", "row_ok")
+        pregate.filter(F.col("site").isin(list(soe_sites)) & F.col("row_ok"))
+        .select("site", "seed_index", "page", "dom_pos", "url_canon")
         .collect()
     )
     per_cell: dict[tuple[int, int], list] = defaultdict(list)
@@ -448,9 +465,8 @@ def _stop_replay(
                 for r in sorted(per_cell.get((si, p), []), key=lambda r: r["dom_pos"]):
                     if r["url_canon"] in claimed:
                         continue
-                    if r["row_ok"]:
-                        claimed.add(r["url_canon"])
-                        acc += 1
+                    claimed.add(r["url_canon"])
+                    acc += 1
                 if acc == 0:
                     limits[si] = min(limits[si], p)
                     stopped.add(si)

@@ -30,9 +30,9 @@ from .config import (
     BATCH_TS,
     EXCLUDE_KEYWORDS,
     INCLUDE_KEYWORDS,
-    PROFILE_BY_SITE,
-    SITE_ORIGIN,
     SiteProfile,
+    origin_of,
+    profile_of,
 )
 from .synth import DISALLOW_PREFIX
 
@@ -58,7 +58,7 @@ def canonicalize(href: str, site: str, strip_query: bool) -> str | None:
     elif not href.lower().startswith("http"):
         # case-insensitive: synth emits uppercase 'HTTPS://HOST' hrefs (U4
         # scheme-lowercasing coverage); they are absolute, not relative
-        href = SITE_ORIGIN[site] + href  # U2
+        href = origin_of(site) + href  # U2
     parts = urlsplit(href)
     scheme = parts.scheme.lower()
     host = parts.netloc.lower().rstrip(".")  # U5 trailing-dot collapse
@@ -222,7 +222,7 @@ def run_reference_model(world: dict, batch_ts_str: str = BATCH_TS) -> GoldenRun:
             si = seed["seed_index"]
             if not active[si]:
                 continue
-            prof = PROFILE_BY_SITE[seed["site"]]
+            prof = profile_of(seed["site"])
             if prof.max_pages and page > prof.max_pages:
                 active[si] = False
                 continue

@@ -93,16 +93,30 @@ class SnapshotStore:
         new_version = int(man["version"]) + 1
         tables = {k: dict(v) for k, v in man["tables"].items()}
 
-        for name, df in (overwrite or {}).items():
-            d = f"{name}/v{new_version}"
-            df.write.mode("overwrite").parquet(os.path.join(self.root, d))
-            tables[name] = {"mode": "overwrite", "dirs": [d]}
+        # All data dirs are written before the manifest swap; writes are
+        # independent Spark jobs, so run them concurrently (the swap below
+        # is still the single atomic commit point).
+        from concurrent.futures import ThreadPoolExecutor
 
+        jobs: list[tuple[str, DataFrame, str, str]] = []
+        for name, df in (overwrite or {}).items():
+            jobs.append((name, df, f"{name}/v{new_version}", "overwrite"))
         for name, df in (append or {}).items():
-            d = f"{name}/v{new_version}"
+            jobs.append((name, df, f"{name}/v{new_version}", "append"))
+
+        def write(job):
+            name, df, d, _mode = job
             df.write.mode("overwrite").parquet(os.path.join(self.root, d))
-            prev = tables.get(name, {"mode": "append", "dirs": []})
-            tables[name] = {"mode": "append", "dirs": prev["dirs"] + [d]}
+
+        if jobs:
+            with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+                list(ex.map(write, jobs))
+        for name, df, d, mode in jobs:
+            if mode == "overwrite":
+                tables[name] = {"mode": "overwrite", "dirs": [d]}
+            else:
+                prev = tables.get(name, {"mode": "append", "dirs": []})
+                tables[name] = {"mode": "append", "dirs": prev["dirs"] + [d]}
 
         new_man = {
             "version": new_version,

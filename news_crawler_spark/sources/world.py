@@ -10,12 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import synth
-from ..config import PROFILES, SITE_HOST
+from ..config import PROFILES, host_of, profile_of, virtual_sites
 from ..schemas import CORPUS, KEYWORDS, ROBOTS, SEEDS
 
 
-def world_dfs(spark: SparkSession, scale: float = 1.0) -> dict[str, DataFrame]:
-    w = synth.build_world(scale)
+def world_dfs(spark: SparkSession, scale: float = 1.0, site_mult: int = 1) -> dict[str, DataFrame]:
+    w = synth.build_world(scale, site_mult)
     return {
         "corpus": spark.createDataFrame(
             [tuple(r[c.name] for c in CORPUS) for r in w["corpus"]], CORPUS
@@ -33,18 +33,22 @@ def world_dfs(spark: SparkSession, scale: float = 1.0) -> dict[str, DataFrame]:
 
 
 def write_world(spark: SparkSession, out_dir: str, scale: float = 1.0,
-                distributed: bool = False) -> dict[str, str]:
+                distributed: bool = False, site_mult: int = 1) -> dict[str, str]:
     """Persist the world as parquet; corpus built distributively at bench
     scales (synth.build_corpus_spark — no driver-side row loop)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
-    dfs = world_dfs(spark, scale if not distributed else 0.05)
+    dfs = world_dfs(spark, scale if not distributed else 0.05,
+                    site_mult if not distributed else 1)
     if distributed:
-        dfs["corpus"] = synth.build_corpus_spark(spark, scale)
-        # seeds/robots/keywords are tiny at any scale; rebuild at true scale
-        w = synth.build_world(0.0)  # sizes floor at small constants
+        dfs["corpus"] = synth.build_corpus_spark(spark, scale, site_mult)
+        # seeds/robots/keywords are tiny at any scale; rebuild at true breadth
+        w = synth.build_world(0.0, site_mult)  # sizes floor at small constants
         dfs["seeds"] = spark.createDataFrame(
             [tuple(r[c.name] for c in SEEDS) for r in w["seeds"]], SEEDS
+        )
+        dfs["robots"] = spark.createDataFrame(
+            [tuple(r[c.name] for c in ROBOTS) for r in w["robots"]], ROBOTS
         )
     for name, df in dfs.items():
         p = os.path.join(out_dir, f"{name}.parquet")
@@ -65,19 +69,22 @@ def read_world(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     }
 
 
-def profiles_df(spark: SparkSession) -> DataFrame:
+def profiles_df(spark: SparkSession, sites: list[str] | None = None) -> DataFrame:
     """Per-site semantic profile dimension (tiny, broadcast everywhere) —
-    SURVEY §7.3 'profiles are config, not code forks'."""
-    rows = [
-        (
-            p.site, p.relevance_variant, p.use_exclude, p.match_input,
-            p.detail_before_filter, p.strip_query, p.time_chain, p.time_source,
-            p.max_pages, p.stop_on_empty, p.crawl_delay_s, p.fuzzy_dedup,
-            p.freshness_days, p.min_include, SITE_HOST[p.site],
-            f"https://{SITE_HOST[p.site]}",
+    SURVEY §7.3 'profiles are config, not code forks'. ``sites`` lists the
+    (possibly virtual) sites present in the world; default = base sites."""
+    sites = sites if sites is not None else [p.site for p in PROFILES]
+    rows = []
+    for site in sites:
+        p = profile_of(site)
+        rows.append(
+            (
+                site, p.relevance_variant, p.use_exclude, p.match_input,
+                p.detail_before_filter, p.strip_query, p.time_chain, p.time_source,
+                p.max_pages, p.stop_on_empty, p.crawl_delay_s, p.fuzzy_dedup,
+                p.freshness_days, p.min_include, host_of(site), f"https://{host_of(site)}",
+            )
         )
-        for p in PROFILES
-    ]
     schema = (
         "site string, relevance_variant string, use_exclude boolean, match_input string, "
         "detail_before_filter boolean, strip_query boolean, time_chain string, "

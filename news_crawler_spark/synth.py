@@ -24,11 +24,12 @@ import math
 from .config import (
     EXCLUDE_KEYWORDS,
     INCLUDE_KEYWORDS,
-    PROFILE_BY_SITE,
     PROFILES,
-    SITE_HOST,
-    SITE_ORIGIN,
     SiteProfile,
+    host_of,
+    origin_of,
+    profile_of,
+    virtual_sites,
 )
 
 WORDS = [
@@ -53,7 +54,8 @@ def H(*parts) -> int:
 
 
 def world_params(scale: float) -> dict[str, int]:
-    """Articles per site: Zipf over site rank → deliberate hot-host skew."""
+    """Articles per base site: Zipf over site rank → deliberate hot-host
+    skew. Virtual sites ('daum#3') inherit their base's size."""
     base = max(40, int(240 * scale))
     return {
         p.site: max(12, int(base * 2 / (rank + 1)))
@@ -61,8 +63,14 @@ def world_params(scale: float) -> dict[str, int]:
     }
 
 
+def n_articles(site: str, sizes: dict[str, int]) -> int:
+    from .config import base_site
+
+    return sizes[base_site(site)]
+
+
 def pages_per_seed(site: str, n_art: int) -> int:
-    prof = PROFILE_BY_SITE[site]
+    prof = profile_of(site)
     return max(2, math.ceil(n_art / (prof.n_seeds * ITEMS_PER_PAGE)))
 
 
@@ -70,8 +78,8 @@ def pages_per_seed(site: str, n_art: int) -> int:
 
 def canon_url(site: str, art_id: int) -> str:
     """Ground-truth canonical URL (north-rule canonical form)."""
-    base = f"{SITE_ORIGIN[site]}/art/{art_id}"
-    if not PROFILE_BY_SITE[site].strip_query and art_id % 3 == 0:
+    base = f"{origin_of(site)}/art/{art_id}"
+    if not profile_of(site).strip_query and art_id % 3 == 0:
         base += "?a=1&b=2"
     return base
 
@@ -83,11 +91,11 @@ def raw_href(site: str, art_id: int, occ: int) -> str:
     canonicalize to ``canon_url`` (U1-U5 coverage).
     """
     h = H("href", site, art_id, occ)
-    host = SITE_HOST[site]
+    host = host_of(site)
     path = f"/art/{art_id}"
-    q_real = "a=1&b=2" if (not PROFILE_BY_SITE[site].strip_query and art_id % 3 == 0) else ""
+    q_real = "a=1&b=2" if (not profile_of(site).strip_query and art_id % 3 == 0) else ""
     if h % 17 == 0:
-        return f"{SITE_ORIGIN[site]}{DISALLOW_PREFIX}{art_id}"  # robots-disallowed
+        return f"{origin_of(site)}{DISALLOW_PREFIX}{art_id}"  # robots-disallowed
     if h % 13 == 0:
         return "javascript:void(0)"  # U1 reject
     v = h % 5
@@ -99,20 +107,20 @@ def raw_href(site: str, art_id: int, occ: int) -> str:
         q = ("b=2&a=1&" if q_real else "") + "utm_source=feed&ref=home"
         return f"HTTPS://{host.upper()}{path}?{q}#section-{h % 7}"
     if v == 3:  # trailing fragment only
-        return f"{SITE_ORIGIN[site]}{path}" + (f"?{q_real}" if q_real else "") + "#top"
+        return f"{origin_of(site)}{path}" + (f"?{q_real}" if q_real else "") + "#top"
     # clean absolute, params permuted
     q = "b=2&a=1" if q_real else ""
-    return f"{SITE_ORIGIN[site]}{path}" + (f"?{q}" if q else "")
+    return f"{origin_of(site)}{path}" + (f"?{q}" if q else "")
 
 
 def listing_url(site: str, seed_local: int, page: int) -> str:
-    return f"{SITE_ORIGIN[site]}/list/{seed_local}?page={page}"
+    return f"{origin_of(site)}/list/{seed_local}?page={page}"
 
 
 def img_url(site: str, art_id: int) -> str | None:
     if H("imgq", site, art_id) % 4 == 0:
         return None
-    return f"{SITE_ORIGIN[site]}/img/{art_id}.jpg"
+    return f"{origin_of(site)}/img/{art_id}.jpg"
 
 
 def img_raw(site: str, art_id: int) -> str | None:
@@ -232,7 +240,7 @@ def listing_items(site: str, seed_local: int, page: int, n_art: int) -> list[dic
     for pos in range(ITEMS_PER_PAGE):
         art_id = H("art", site, seed_local, page, pos) % n_art
         occ = H("occ", site, seed_local, page, pos)
-        prof = PROFILE_BY_SITE[site]
+        prof = profile_of(site)
         items.append(
             {
                 "dom_pos": pos,
@@ -268,7 +276,7 @@ def article_status(site: str, art_id: int) -> int:
 
 
 def article_content(site: str, art_id: int) -> str:
-    prof = PROFILE_BY_SITE[site]
+    prof = profile_of(site)
     return (
         f'<article title="{make_title(site, art_id)}"'
         f' time="{make_time_str(prof, art_id)}"'
@@ -279,19 +287,21 @@ def article_content(site: str, art_id: int) -> str:
 
 # ---------------------------------------------------------------- world
 
-def build_world(scale: float = 1.0) -> dict[str, list[dict]]:
+def build_world(scale: float = 1.0, site_mult: int = 1) -> dict[str, list[dict]]:
     """Materialize the full world as python rows (small scales / tests).
 
     Returns dict with keys: corpus, seeds, robots, keywords.
-    For bench-scale corpora use ``build_corpus_spark`` instead.
+    ``site_mult`` > 1 adds virtual sites (frontier breadth — the knob a
+    web-scale bench turns). For bench-scale corpora use
+    ``build_corpus_spark`` instead.
     """
     sizes = world_params(scale)
     corpus: list[dict] = []
     seeds: list[dict] = []
     seed_index = 0
-    for prof in PROFILES:
-        site = prof.site
-        n_art = sizes[site]
+    for site in virtual_sites(site_mult):
+        prof = profile_of(site)
+        n_art = n_articles(site, sizes)
         npages = pages_per_seed(site, n_art)
         for s in range(prof.n_seeds):
             seeds.append(
@@ -329,11 +339,11 @@ def build_world(scale: float = 1.0) -> dict[str, list[dict]]:
             )
     robots = [
         {
-            "host": SITE_HOST[p.site],
-            "crawl_delay_s": p.crawl_delay_s,
+            "host": host_of(site),
+            "crawl_delay_s": profile_of(site).crawl_delay_s,
             "disallow_prefixes": [DISALLOW_PREFIX],
         }
-        for p in PROFILES
+        for site in virtual_sites(site_mult)
     ]
     keywords = [
         {"kind": "include", "category": "core", "keyword": k} for k in INCLUDE_KEYWORDS
@@ -341,16 +351,16 @@ def build_world(scale: float = 1.0) -> dict[str, list[dict]]:
     return {"corpus": corpus, "seeds": seeds, "robots": robots, "keywords": keywords}
 
 
-def build_corpus_spark(spark, scale: float):
+def build_corpus_spark(spark, scale: float, site_mult: int = 1):
     """Distributed corpus build for bench scales: the same pure functions
     applied via mapInPandas over a task-id range — no driver-side loop."""
     import pandas as pd
 
     sizes = world_params(scale)
     tasks = []  # (site, kind, lo, hi) article-id / page ranges
-    for prof in PROFILES:
-        site = prof.site
-        n_art = sizes[site]
+    for site in virtual_sites(site_mult):
+        prof = profile_of(site)
+        n_art = n_articles(site, sizes)
         npages = pages_per_seed(site, n_art)
         for s in range(prof.n_seeds):
             tasks.append((site, "listing", s, 1, npages + 1))
@@ -367,8 +377,8 @@ def build_corpus_spark(spark, scale: float):
         for pdf in it:
             out = []
             for r in pdf.itertuples(index=False):
-                prof = PROFILE_BY_SITE[r.site]
-                n_art = sizes_b[r.site]
+                prof = profile_of(r.site)
+                n_art = n_articles(r.site, sizes_b)
                 if r.kind == "listing":
                     for page in range(r.lo, r.hi):
                         out.append(

@@ -54,3 +54,15 @@ def test_shard_routing_matches_python_hash(spark):
     for r in got:
         h1 = int.from_bytes(hashlib.md5(r.url_canon.encode()).digest()[:8], "big")
         assert r.sid == h1 % 32
+
+
+def test_broadcast_probe_with_empty_shards(spark):
+    # only 3 urls → most of the 32 configured shards have no committed row;
+    # routing must still use the configured modulus (regression: a probe
+    # keyed on len(present_shards) mis-routes and yields false negatives)
+    seen = spark.createDataFrame(_urls("seen", 3), "url_canon string")
+    shards = bloom.build_shards(seen, n_shards=32, n_bits=1 << 12)
+    assert shards.count() <= 3
+    cand = spark.createDataFrame(_urls("seen", 3) + _urls("new", 50), "url_canon string")
+    out = {r.url_canon for r in bloom.dedup_new(cand, seen, shards, n_shards=32).collect()}
+    assert out == {u for (u,) in _urls("new", 50)}
