@@ -43,6 +43,8 @@ from __future__ import annotations
 
 import time
 from collections import defaultdict
+
+import pandas as pd
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -69,6 +71,7 @@ METRICS_SCHEMA = (
 
 @dataclass
 class CrawlResult:
+    prelude_s: float = 0.0
     batches: int = 0
     dispatched: int = 0
     items: int = 0
@@ -103,6 +106,7 @@ def run_crawl(
     bts = batch_ts_lit(batch_ts)
     K = pages_per_batch
     res = CrawlResult()
+    _t_prelude = time.time()
 
     # ---- resume or init ------------------------------------------------
     if store.last_batch_id >= 0:
@@ -123,8 +127,10 @@ def run_crawl(
     max_delay_seeds = max(p["crawl_delay_s"] * 4 for p in prof_map.values())
     window_s = max(60.0, max_delay_seeds * K * 2)
 
+    res.prelude_s = time.time() - _t_prelude
     batch = store.last_batch_id
     while batch < max_batches:
+        _t_win = time.time()
         batch += 1
         p0 = (batch - 1) * K + 1
         p1 = p0 + K - 1
@@ -143,12 +149,16 @@ def run_crawl(
             for p in range(p0, p1 + 1)
             if not (s["max_pages"] and p > s["max_pages"])
         ]
-        due = spark.createDataFrame(
-            due_rows, "url_canon string, site string, seed_index int, page int, priority int"
+        due_pdf = pd.DataFrame(
+            due_rows, columns=["url_canon", "site", "seed_index", "page", "priority"]
+        )
+        due = spark.createDataFrame(  # Arrow path — no per-row driver serialization
+            due_pdf, "url_canon string, site string, seed_index int, page int, priority int"
         ).withColumn("host", F.parse_url(F.col("url_canon"), F.lit("HOST"))) \
          .withColumn("order_key", order_key_col(F.col("page"), F.col("seed_index"), F.lit(0)))
 
         dispatched = schedule(due, robots, bts, window_s, n_salts=n_salts).persist()
+        _stage_due = int((time.time() - _t_win) * 1000)
 
         # ---- fetch (replayed corpus join) + parse ----------------------
         fetched = dispatched.select("url_canon", "site", "seed_index", "page").join(
@@ -217,9 +227,10 @@ def run_crawl(
 
         # ---- per-(seed,page) item counts (A6 empty-page rule input) -----
         t0 = time.time()
+        ic = items.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
         item_counts: dict[tuple[int, int], int] = {
-            (r["seed_index"], r["page"]): r["n"]
-            for r in items.groupBy("seed_index", "page").agg(F.count("*").alias("n")).collect()
+            (int(s), int(p)): int(n)
+            for s, p, n in zip(ic["seed_index"], ic["page"], ic["n"])
         }
         _clock("parse_items", t0)
 
@@ -231,8 +242,13 @@ def run_crawl(
         _clock("pregate_stop_replay", t0)
 
         # ---- mask + in-window first-occurrence dedup (D2) ---------------
-        limit_rows = [(s["seed_index"], limits[s["seed_index"]]) for s in active]
-        limit_df = spark.createDataFrame(limit_rows, "seed_index int, page_limit int")
+        limit_df = spark.createDataFrame(
+            pd.DataFrame(
+                [(s["seed_index"], limits[s["seed_index"]]) for s in active],
+                columns=["seed_index", "page_limit"],
+            ),
+            "seed_index int, page_limit int",
+        )
         masked = pregate.join(F.broadcast(limit_df), on="seed_index").filter(
             F.col("page") <= F.col("page_limit")
         )
@@ -275,14 +291,17 @@ def run_crawl(
 
         # ---- pagination state for next window -----------------------------
         t0 = time.time()
+        ac = docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
         acc_counts = {
-            (r["seed_index"], r["page"]): r["n"]
-            for r in docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).collect()
+            (int(s), int(p)): int(n)
+            for s, p, n in zip(ac["seed_index"], ac["page"], ac["n"])
         }
         n_accepted = sum(acc_counts.values())
         n_items_total = sum(item_counts.values())
-        n_disp = dispatched.count()
         _clock("accept_counts", t0)
+        t0 = time.time()
+        n_disp = dispatched.count()
+        _clock("n_disp", t0)
         for s in active:
             si = s["seed_index"]
             last_due = min(p1, s["max_pages"]) if s["max_pages"] else p1
@@ -295,15 +314,19 @@ def run_crawl(
                 s["active"] = False  # final page accepted nothing
 
         # ---- fuzzy title state update (driver sorts the tiny slice) ------
-        fuzzy_rows = (
+        t0 = time.time()
+        fz = (
             accepted.filter(F.col("fuzzy_dedup"))
             .select("site",
                     F.regexp_replace(F.lower(F.col("title")), r"\s+", "").alias("norm_title"),
                     F.col("order_key").alias("seq"))
-            .collect()
+            .toPandas()
+            .sort_values("seq")
         )
-        for r in sorted(fuzzy_rows, key=lambda r: r["seq"]):
-            fuzzy_prior.setdefault(r["site"], []).append(r["norm_title"])
+        for site, t in zip(fz["site"], fz["norm_title"]):
+            fuzzy_prior.setdefault(site, []).append(t)
+        _clock("fuzzy_collect", t0)
+        t0 = time.time()
 
         # ---- per-partition lineage/metrics (north rule) -------------------
         part_metrics = docs.groupBy(F.spark_partition_id().alias("partition_id")).agg(
@@ -329,10 +352,13 @@ def run_crawl(
 
         # ---- frontier bookkeeping ------------------------------------------
         frontier_pending = spark.createDataFrame(
-            [
-                (f"{s['url']}?page={p1 + 1}", s["site"], s["seed_index"], p1 + 1, "pending")
-                for s in seed_state if s["active"]
-            ] or [("", "", -1, -1, "none")],
+            pd.DataFrame(
+                [
+                    (f"{s['url']}?page={p1 + 1}", s["site"], s["seed_index"], p1 + 1, "pending")
+                    for s in seed_state if s["active"]
+                ] or [("", "", -1, -1, "none")],
+                columns=["url_canon", "site", "seed_index", "page", "status"],
+            ),
             "url_canon string, site string, seed_index int, page int, status string",
         ).filter(F.col("seed_index") >= 0)
         frontier_log = dispatched.select(
@@ -345,8 +371,11 @@ def run_crawl(
             "seed_state": _seed_state_df(spark, seed_state),
             "frontier_pending": frontier_pending,
             "fuzzy_titles": spark.createDataFrame(
-                [(site, t, i) for site, ts_ in fuzzy_prior.items() for i, t in enumerate(ts_)]
-                or [("", "", -1)],
+                pd.DataFrame(
+                    [(site, t, i) for site, ts_ in fuzzy_prior.items()
+                     for i, t in enumerate(ts_)] or [("", "", -1)],
+                    columns=["site", "norm_title", "seq"],
+                ),
                 FUZZY_SCHEMA,
             ),
         }
@@ -357,6 +386,7 @@ def run_crawl(
                 bloom.merge_shards(prev_shards, delta_shards)
                 if prev_shards is not None else delta_shards
             )
+        _clock("prep", t0)
         t0 = time.time()
         store.commit(
             batch,
@@ -378,6 +408,8 @@ def run_crawl(
         res.items += n_items_total
         res.accepted += n_accepted
         res.frontier_rows += n_disp + n_accepted + len(due_rows)
+        stage_wall["due_build"] = _stage_due
+        stage_wall["window_total"] = int((time.time() - _t_win) * 1000)
         res.per_batch.append(
             {"batch": batch, "pages": [p0, p1], "dispatched": n_disp,
              "items": n_items_total, "accepted": n_accepted, "wall_ms": stage_wall}
@@ -391,8 +423,11 @@ def run_crawl(
 
 def _seed_state_df(spark: SparkSession, seed_state: list[dict]) -> DataFrame:
     return spark.createDataFrame(
-        [tuple(s[k] for k in ("seed_index", "site", "url", "max_pages", "active"))
-         for s in seed_state],
+        pd.DataFrame(
+            [tuple(s[k] for k in ("seed_index", "site", "url", "max_pages", "active"))
+             for s in seed_state],
+            columns=["seed_index", "site", "url", "max_pages", "active"],
+        ),
         SEED_STATE_SCHEMA,
     )
 
@@ -442,12 +477,13 @@ def _stop_replay(
     # SOE sites' ACCEPTABLE rows, a small fraction of window items.
     rows = (
         pregate.filter(F.col("site").isin(list(soe_sites)) & F.col("row_ok"))
-        .select("site", "seed_index", "page", "dom_pos", "url_canon")
-        .collect()
+        .select("seed_index", "page", "dom_pos", "url_canon")
+        .toPandas()
     )
     per_cell: dict[tuple[int, int], list] = defaultdict(list)
-    for r in rows:
-        per_cell[(r["seed_index"], r["page"])].append(r)
+    for si, p, dp, u in zip(rows["seed_index"], rows["page"], rows["dom_pos"],
+                            rows["url_canon"]):
+        per_cell[(int(si), int(p))].append((int(dp), u))
 
     for site in sorted(soe_sites):
         site_seeds = sorted(by_site_seed[site], key=lambda s: s["seed_index"])
@@ -462,10 +498,10 @@ def _stop_replay(
                     stopped.add(si)  # limit already set by empty-page pass
                     continue
                 acc = 0
-                for r in sorted(per_cell.get((si, p), []), key=lambda r: r["dom_pos"]):
-                    if r["url_canon"] in claimed:
+                for _dp, u in sorted(per_cell.get((si, p), [])):
+                    if u in claimed:
                         continue
-                    claimed.add(r["url_canon"])
+                    claimed.add(u)
                     acc += 1
                 if acc == 0:
                     limits[si] = min(limits[si], p)

@@ -1,0 +1,168 @@
+"""Training-data operators: dedup family, similarity search, text stats,
+multimodal plumbing — semantic sanity checks beyond the DuckDB oracle
+equivalence (which tools/check_oracles.py and the driver cover)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark.functions.textstats import (
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from news_crawler_spark.operators.multimodal import embed_image_stub, frame_sample, image_metadata
+from news_crawler_spark.operators.similarity import brute_force_topk, cosine_expr, ivf_assign, ivf_topk
+from news_crawler_spark.operators.textdedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                                   # exact dup of 1
+        (3, base.replace("today", "tonight"), "en"),       # near dup of 1
+        (4, "completely different text about spark query engines and tables", "en"),
+        (5, "el rapido zorro marron salta sobre el perro que duerme en la orilla", "es"),
+        (6, "  the   quick brown fox jumps over the lazy dog near the river bank today ", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_normalizes_whitespace(spark, docs):
+    out = {r.doc_id: r.n_dups for r in exact_dedup(docs).collect()}
+    # docs 1, 2 and 6 share a fingerprint (whitespace-normalized)
+    assert out[1] == 3
+    assert sum(out.values()) == 6
+
+
+def test_fingerprint_stability(spark, docs):
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[6]
+    assert fps[1] != fps[3]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.a, r.b) for r in
+             minhash_lsh_pairs(docs, verify_jaccard=0.5).collect()}
+    assert (1, 2) in pairs          # exact dup always collides
+    assert (1, 6) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)  # unrelated docs never verified
+
+
+def test_ngram_jaccard_blocked_by_lang(spark, docs):
+    pairs = {(r.a, r.b): r.jac for r in
+             ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 5) not in pairs      # different lang block — never compared
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash_docs(docs).collect()}
+    assert sh[1] == sh[2] == sh[6]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= v < (1 << 32) for v in sh.values())
+
+
+def test_lang_and_quality(spark, docs):
+    out = {r.doc_id: (r.lp, r.q, r.n) for r in docs.select(
+        "doc_id",
+        lang_id_expr(F.col("text")).alias("lp"),
+        quality_score_expr(F.col("text")).alias("q"),
+        token_count_expr(F.col("text")).alias("n"),
+    ).collect()}
+    assert out[1][0] == "en"
+    assert out[5][0] == "es"
+    assert 0.0 <= out[1][1] <= 1.0
+    assert out[1][2] == 14
+
+
+# ------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float32")
+    base[1] = base[0] + 0.01 * rng.randn(8).astype("float32")  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = [r.vec_id for r in brute_force_topk(vectors, probes, k=3)
+           .orderBy("rank").collect()]
+    assert top[0] == 1  # the planted near-dup is the nearest neighbor
+    # cross-check against numpy
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in vectors.collect()}
+    q = vecs[0]
+    cos = {i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+           for i, v in vecs.items() if i != 0}
+    expect = [i for i, _ in sorted(cos.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:3]]
+    assert top == expect
+
+
+def test_ivf_ann_recalls_planted_neighbor(spark, vectors):
+    # centroids disjoint from the planted pair (a vector that IS a
+    # centroid trivially owns its own cluster)
+    cent = vectors.filter(F.col("vec_id") >= 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = ivf_assign(vectors, cent)
+    # every vector lands in exactly one cluster
+    assert assigned.count() == 20
+    clusters = {r.vec_id: r.cluster for r in assigned.collect()}
+    assert clusters[0] == clusters[1]  # near-identical vectors co-cluster
+    probes = spark.createDataFrame([(0,)], "qid long")
+    top = [r.vec_id for r in ivf_topk(assigned, probes, k=3).orderBy("rank").collect()]
+    assert top and top[0] == 1  # near-dup ranks first within the cluster
+
+
+def test_cosine_expr_range(spark, vectors):
+    a = vectors.alias("a")
+    b = vectors.alias("b")
+    vals = [r.c for r in a.crossJoin(b.withColumnRenamed("embedding", "e2")
+                                     .withColumnRenamed("vec_id", "v2"))
+            .select(cosine_expr(F.col("embedding"), F.col("e2")).alias("c"))
+            .collect()]
+    assert all(-1.000001 <= v <= 1.000001 for v in vals)
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(spark):
+    rows = [(str(i), f"https://img/{i}.jpg", bytes([i]) * (10 + i)) for i in range(6)]
+    media = spark.createDataFrame(rows, "doc_id string, media_ref string, payload binary")
+    meta = image_metadata(media).collect()
+    assert len(meta) == 6
+    for r in meta:
+        assert r.format in ("jpeg", "png", "webp")
+        assert r.width >= 64 and r.height >= 64
+        assert r.n_bytes == 10 + int(r.doc_id)
+    # determinism: same payload → same metadata
+    again = {r.doc_id: (r.format, r.width, r.height, r.sha1)
+             for r in image_metadata(media).collect()}
+    assert {r.doc_id: (r.format, r.width, r.height, r.sha1) for r in meta} == again
+
+    frames = frame_sample(media).collect()
+    assert all(1 <= len([f for f in frames if f.doc_id == str(i)]) <= 3 for i in range(6))
+
+    emb = embed_image_stub(media, dim=8).collect()
+    assert all(len(r.embedding) == 8 for r in emb)
