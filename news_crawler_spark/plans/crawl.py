@@ -110,25 +110,27 @@ def run_crawl(
 
     # ---- resume or init ------------------------------------------------
     if store.last_batch_id >= 0:
-        seed_state = [r.asDict() for r in
-                      store.read(spark, "seed_state").orderBy("seed_index").collect()]
+        ss = store.read(spark, "seed_state").toPandas().sort_values("seed_index")
+        seed_state = ss.to_dict("records")
         fuzzy_prior = _load_fuzzy(spark, store)
     else:
-        seed_state = [{**r.asDict(), "active": True} for r in seeds.orderBy("seed_index").collect()]
+        # no init snapshot: a crash before the first window's commit
+        # re-initializes from the world's seed list — same state
+        ss = seeds.toPandas().sort_values("seed_index")
+        ss["active"] = True
+        seed_state = ss.to_dict("records")
         fuzzy_prior = {}
-        store.commit(0, overwrite={"seed_state": _seed_state_df(spark, seed_state)},
-                     meta={"note": "init"})
 
     world_sites = sorted({s["site"] for s in seed_state})
     profiles = profiles_df(spark, world_sites)
-    prof_map = {r["site"]: r.asDict() for r in profiles.collect()}
+    prof_map = {r.asDict()["site"]: r.asDict() for r in profiles.collect()}
 
     # politeness window must admit every due page of the window's hosts
     max_delay_seeds = max(p["crawl_delay_s"] * 4 for p in prof_map.values())
     window_s = max(60.0, max_delay_seeds * K * 2)
 
     res.prelude_s = time.time() - _t_prelude
-    batch = store.last_batch_id
+    batch = max(store.last_batch_id, 0)  # fresh store: no init snapshot
     while batch < max_batches:
         _t_win = time.time()
         batch += 1
@@ -240,6 +242,7 @@ def run_crawl(
             spark, pregate, active, prof_map, item_counts, p0, p1
         )
         _clock("pregate_stop_replay", t0)
+        t0 = time.time()
 
         # ---- mask + in-window first-occurrence dedup (D2) ---------------
         limit_df = spark.createDataFrame(
@@ -290,6 +293,7 @@ def run_crawl(
         ).persist()
 
         # ---- pagination state for next window -----------------------------
+        _clock("dag_build", t0)
         t0 = time.time()
         ac = docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
         acc_counts = {

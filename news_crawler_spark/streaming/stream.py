@@ -128,7 +128,7 @@ def crawl_foreach_batch(
             spark, world, store,
             use_bloom=use_bloom,
             pages_per_batch=pages_per_batch,
-            max_batches=store.last_batch_id + 1,  # exactly one window per tick
+            max_batches=max(store.last_batch_id, 0) + 1,  # one window per tick
         )
 
     return on_batch
