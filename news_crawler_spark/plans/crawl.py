@@ -129,6 +129,37 @@ def run_crawl(
     max_delay_seeds = max(p["crawl_delay_s"] * 4 for p in prof_map.values())
     window_s = max(60.0, max_delay_seeds * K * 2)
 
+    # ---- loop-invariant column expressions (py4j expression building is
+    # driver-serial — build the heavy trees once, reuse every window) ----
+    url_canon_e = canonicalize_expr(F.col("href"), F.col("origin"), F.col("strip_query"))
+    link_path_e = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit(""))
+    order_key_e = order_key_col(F.col("page"), F.col("seed_index"), F.col("dom_pos"))
+    need_detail = F.col("time_source") == "article"  # detail_before_filter ⊆ this
+    detail_ok = F.col("a_status").isNotNull() & (F.col("a_status") == 200)
+    match_text = (
+        F.when(F.col("match_input") == "title_lead",
+               F.concat_ws(" ", F.col("title"), F.col("lead")))
+        .when(F.col("match_input") == "title_summary",
+              F.concat_ws(" ", F.col("title"), F.coalesce(F.col("d_summary"), F.lit(""))))
+        .otherwise(F.col("title"))
+    )
+    rel_ok = relevance_expr(match_text, F.col("relevance_variant"), F.col("use_exclude"),
+                            inc_arr, exc_arr, F.col("min_include"))
+    time_str_e = F.when(F.col("time_source") == "article", F.col("d_time_str")).otherwise(
+        F.col("time_str"))
+    ts_e = parse_time_expr(time_str_e, F.col("time_chain"), bts)
+    fresh_ok = freshness_filter_expr(F.col("ts"), bts, F.col("freshness_days"))
+    row_ok_e = (~need_detail | detail_ok) & rel_ok & F.col("ts").isNotNull() & fresh_ok
+    summary_e = F.when(need_detail, F.coalesce(F.col("d_summary"), F.lit(""))).otherwise(F.lit(""))
+    img_raw_e = F.when(
+        need_detail, F.coalesce(F.nullif(F.col("d_img"), F.lit("")), F.col("img"))
+    ).otherwise(F.col("img"))
+    img_canon_e = F.when(img_raw_e.isNull() | (img_raw_e == ""), F.lit("")).otherwise(
+        F.coalesce(canonicalize_expr(img_raw_e, F.col("origin"), F.lit(False)), F.lit(""))
+    )
+    spans_e = build_spans(F.col("title"), summary_e, img_canon_e)
+    w_dedup = Window.partitionBy("url_canon").orderBy("order_key")
+
     res.prelude_s = time.time() - _t_prelude
     batch = max(store.last_batch_id, 0)  # fresh store: no init snapshot
     while batch < max_batches:
@@ -171,22 +202,18 @@ def run_crawl(
 
         # ---- per-row gates (dedup-independent) → pregate ----------------
         cand = items.join(F.broadcast(profiles), on="site", how="inner")
-        cand = cand.withColumn(
-            "url_canon", canonicalize_expr(F.col("href"), F.col("origin"), F.col("strip_query"))
-        ).filter(F.col("url_canon").isNotNull())
-        path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit(""))
+        cand = cand.withColumn("url_canon", url_canon_e).filter(F.col("url_canon").isNotNull())
         cand = (
             cand.withColumn("link_host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
             .join(F.broadcast(robots.withColumnRenamed("host", "link_host")
                               .select("link_host", "disallow_prefixes")),
                   on="link_host", how="left")
             .filter(F.col("disallow_prefixes").isNull()
-                    | ~F.exists(F.col("disallow_prefixes"), lambda p: path.startswith(p)))
+                    | ~F.exists(F.col("disallow_prefixes"),
+                                lambda p: link_path_e.startswith(p)))
             .drop("disallow_prefixes")
         )
-        cand = cand.withColumn(
-            "order_key", order_key_col(F.col("page"), F.col("seed_index"), F.col("dom_pos"))
-        )
+        cand = cand.withColumn("order_key", order_key_e)
 
         # D1: cross-batch seen — seen rows can neither accept nor claim
         # first-occurrence, so dropping them entirely is exact
@@ -197,30 +224,13 @@ def run_crawl(
 
         # S3/P3: article detail where the profile needs it (single join;
         # parse carries http_status — C5 failure routing)
-        need_detail = F.col("time_source") == "article"  # detail_before_filter ⊆ this
         cand_urls = cand.filter(need_detail).select("url_canon")
         detail = parse_article(
             articles.join(cand_urls, on="url_canon", how="left_semi")
         ).withColumnRenamed("url_canon", "d_url")
         cand = cand.join(detail, cand["url_canon"] == detail["d_url"], "left").drop("d_url")
-        detail_ok = F.col("a_status").isNotNull() & (F.col("a_status") == 200)
 
-        match_text = (
-            F.when(F.col("match_input") == "title_lead",
-                   F.concat_ws(" ", F.col("title"), F.col("lead")))
-            .when(F.col("match_input") == "title_summary",
-                  F.concat_ws(" ", F.col("title"), F.coalesce(F.col("d_summary"), F.lit(""))))
-            .otherwise(F.col("title"))
-        )
-        rel_ok = relevance_expr(match_text, F.col("relevance_variant"), F.col("use_exclude"),
-                                inc_arr, exc_arr, F.col("min_include"))
-        time_str = F.when(F.col("time_source") == "article", F.col("d_time_str")).otherwise(
-            F.col("time_str"))
-        ts_col = parse_time_expr(time_str, F.col("time_chain"), bts)
-        fresh_ok = freshness_filter_expr(ts_col, bts, F.col("freshness_days"))
-        row_ok = (~need_detail | detail_ok) & rel_ok & ts_col.isNotNull() & fresh_ok
-
-        pregate = cand.withColumn("ts", ts_col).withColumn("row_ok", row_ok).persist()
+        pregate = cand.withColumn("ts", ts_e).withColumn("row_ok", row_ok_e).persist()
 
         stage_wall: dict[str, int] = {}
 
@@ -257,10 +267,9 @@ def run_crawl(
         )
         # first occurrence among ACCEPTABLE rows only — the oracle claims a
         # URL on accept; a rejected earlier occurrence never blocks
-        w = Window.partitionBy("url_canon").orderBy("order_key")
         first_occ = (
             masked.filter(F.col("row_ok"))
-            .withColumn("rn", F.row_number().over(w))
+            .withColumn("rn", F.row_number().over(w_dedup))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
@@ -276,16 +285,9 @@ def run_crawl(
         ).persist()
 
         # ---- document assembly (P4) --------------------------------------
-        summary = F.when(need_detail, F.coalesce(F.col("d_summary"), F.lit(""))).otherwise(F.lit(""))
-        img_raw = F.when(
-            need_detail, F.coalesce(F.nullif(F.col("d_img"), F.lit("")), F.col("img"))
-        ).otherwise(F.col("img"))
-        img_canon = F.when(img_raw.isNull() | (img_raw == ""), F.lit("")).otherwise(
-            F.coalesce(canonicalize_expr(img_raw, F.col("origin"), F.lit(False)), F.lit(""))
-        )
         docs = accepted.select(
             F.md5(F.col("url_canon")).alias("doc_id"),
-            build_spans(F.col("title"), summary, img_canon).alias("spans"),
+            spans_e.alias("spans"),
             F.col("url_canon"), F.col("site"), F.col("ts"),
             F.col("order_key").alias("crawl_order"),
             F.lit(batch).alias("batch_id"),
