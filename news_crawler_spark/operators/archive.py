@@ -1,0 +1,84 @@
+"""Archive sinks — SURVEY.md §2.1 S6/S9, §2.7 A1-A4.
+
+The reference's persisted shape is a per-site JSON archive of day groups
+(``[{date: '2025년 04월 18일 금요일', articles: [...]}, ...]`` —
+Daum_crawler.py:187-224, Naver_Crawler.py:137-160) plus a global
+50-newest head list (utils.js:18-23). Here both are views over the
+``documents`` table:
+
+* ``day_grouped_archive`` — A1/A3/T7: group by the Korean date key,
+  articles newest-first within each day (A2 ``sorted(reverse=True)``
+  with nulls-last sentinel semantics, Daum_crawler.py:189), day groups
+  ascending. Grouping is a presentation concern (SURVEY §2.7) — the
+  engine stores flat, partition-pruned documents and materializes this
+  nested shape on demand.
+* ``head_list`` — A4 top-k: newest 50 overall, Catalyst's
+  TakeOrderedAndProject (no full sort at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timeparse import korean_date_key_expr
+
+
+def _article_fields() -> list[F.Column]:
+    """The reference's flat record {title, time, img, summary, url}
+    projected from spans (record constructors, e.g.
+    SkyDaily_Crawler.py:131-138) — flat columns, single projection layer
+    (struct-then-extract would defeat CollapseProject and with it the
+    TakeOrderedAndProject fusion in head_list)."""
+    summary_arr = F.filter(F.col("spans"), lambda s: s["kind"] == "summary")
+    img_arr = F.filter(F.col("spans"), lambda s: s["kind"] == "image")
+    return [
+        F.element_at(F.filter(F.col("spans"), lambda s: s["kind"] == "title"), 1)["text"]
+        .alias("title"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
+        F.when(F.size(img_arr) > 0, F.element_at(img_arr, 1)["media_ref"])
+        .otherwise(F.lit("")).alias("img"),
+        F.when(F.size(summary_arr) > 0, F.element_at(summary_arr, 1)["text"])
+        .otherwise(F.lit("")).alias("summary"),
+        F.col("url_canon").alias("url"),
+    ]
+
+
+def _article_struct() -> F.Column:
+    return F.struct(*_article_fields())
+
+
+def day_grouped_archive(documents: DataFrame, site: str | None = None) -> DataFrame:
+    """documents → one row per (site, day): Korean date key + the day's
+    articles newest-first. ``sort_array`` on a (-epoch, article) struct
+    keeps the whole operation native (no UDF, map-side combinable)."""
+    df = documents if site is None else documents.filter(F.col("site") == site)
+    keyed = df.select(
+        "site",
+        F.to_date("ts").alias("day"),
+        korean_date_key_expr(F.col("ts")).alias("date_key"),
+        F.struct(
+            (-F.unix_timestamp("ts")).alias("neg_ts"),
+            F.col("crawl_order").alias("tie"),
+            _article_struct().alias("a"),
+        ).alias("sortable"),
+    )
+    return (
+        keyed.groupBy("site", "day", "date_key")
+        .agg(F.transform(F.sort_array(F.collect_list("sortable")),
+                         lambda s: s["a"]).alias("articles"))
+        .orderBy("site", "day")
+        .select("site", "date_key", "articles")
+    )
+
+
+def head_list(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Global newest-k (utils.js:19 ``slice(0, 50)``): deterministic
+    tie-break on crawl_order; Catalyst plans TakeOrderedAndProject —
+    a per-partition top-k + single merge, never a global sort."""
+    # one flat projection over the limit: Limit(Project(Sort)) fuses into
+    # TakeOrderedAndProject (per-partition top-k + single merge); a second
+    # projection layer blocks CollapseProject and degrades the plan to a
+    # global range-partitioned sort
+    top = documents.orderBy(F.desc("ts"), F.col("crawl_order")).limit(k)
+    return top.select(*_article_fields(), "site", "ts")
