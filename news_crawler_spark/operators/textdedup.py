@@ -67,14 +67,23 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 def minhash_signature_expr(items: Column, n_hashes: int) -> Column:
     """MinHash over md5(seed || item): the signature element for seed s is
     the lexicographic min of the hex digests — deterministic, oracle-
-    reproducible, and a valid min-wise permutation family."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(items, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))
-            )
-            for s in range(n_hashes)
-        ]
+    reproducible, and a valid min-wise permutation family.
+
+    Implemented as ONE aggregate fold over ``items`` with an
+    array<string> accumulator of per-seed minima: building it as
+    n_hashes separate transform passes re-inlines the (expensive)
+    ``items`` subtree n_hashes times — Catalyst does not CSE across
+    higher-order functions. Values are identical either way (min over
+    the same digest set), so the DuckDB oracle formula is unchanged."""
+    init = F.array_repeat(F.lit("￿"), n_hashes)  # sorts above any hex digest
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.aggregate(
+        items,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, seeds,
+            lambda m, s: F.least(m, F.md5(F.concat(s.cast("string"), F.lit(":"), x))),
+        ),
     )
 
 
