@@ -72,6 +72,30 @@ def day_grouped_archive(documents: DataFrame, site: str | None = None) -> DataFr
     )
 
 
+def merge_head_list(existing: DataFrame, new: DataFrame, k: int = 50) -> DataFrame:
+    """S9/D6: utils.js:18-28 — prepend new items not already present
+    (``existingNews.some(item => item.link === link)`` ≡ left_anti on
+    url), newest-first, truncate to k."""
+    fresh = new.join(existing.select("url"), on="url", how="left_anti")
+    return (
+        fresh.unionByName(existing)
+        .orderBy(F.desc("ts"), F.col("url"))
+        .limit(k)
+    )
+
+
+def write_archive_json(archive: DataFrame, path: str) -> None:
+    """S6 sink shape: one JSON line per day group (the reference's
+    ``[{date, articles:[...]}]`` file, line-delimited for parallel IO)."""
+    archive.write.mode("overwrite").json(path)
+
+
+def read_archive_json(spark, path: str) -> DataFrame:
+    """S8: read a previously-written archive back (utils.js:7-15 reads the
+    head list over HTTP; here any Hadoop-compatible path)."""
+    return spark.read.json(path)
+
+
 def head_list(documents: DataFrame, k: int = 50) -> DataFrame:
     """Global newest-k (utils.js:19 ``slice(0, 50)``): deterministic
     tie-break on crawl_order; Catalyst plans TakeOrderedAndProject —

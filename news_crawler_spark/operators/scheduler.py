@@ -56,12 +56,23 @@ def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     ).drop("disallow_prefixes")
 
 
+def jitter_expr(url_canon: F.Column, jitter_range_s: float) -> F.Column:
+    """C2: the reference jitters politeness sleeps with random.uniform
+    (Google_Crawler.py:358-361) — unreplayable. The engine derives the
+    jitter from the URL hash: same politeness spread, bit-exact replay."""
+    return (
+        F.pmod(shard_id_col(url_canon, 1 << 20).cast("double"), F.lit(1000.0))
+        / 1000.0 * jitter_range_s
+    )
+
+
 def schedule(
     due: DataFrame,
     robots: DataFrame,
     batch_ts: F.Column,
     window_s: float,
     n_salts: int = 8,
+    jitter_range_s: float = 0.0,
 ) -> DataFrame:
     """Pick ≤ budget(host) rows per host by (priority, order_key); stamp
     politeness slots. Input: frontier rows with url_canon, host,
@@ -89,9 +100,11 @@ def schedule(
         phase1.withColumn("slot", F.row_number().over(w_host) - 1)
         .filter(F.col("slot") < budget)
     )
+    slot_s = F.col("slot") * F.col("crawl_delay_s")
+    if jitter_range_s > 0:
+        slot_s = slot_s + jitter_expr(F.col("url_canon"), jitter_range_s)
     return phase2.withColumn(
-        "next_fetch_after",
-        batch_ts + F.make_interval(secs=F.col("slot") * F.col("crawl_delay_s")),
+        "next_fetch_after", batch_ts + F.make_interval(secs=slot_s)
     ).drop("salt_rank")
 
 

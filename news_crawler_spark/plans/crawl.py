@@ -367,9 +367,21 @@ def run_crawl(
             ),
             "url_canon string, site string, seed_index int, page int, status string",
         ).filter(F.col("seed_index") >= 0)
-        frontier_log = dispatched.select(
-            "url_canon", "site", "seed_index", "page", "next_fetch_after"
-        ).withColumn("status", F.lit("fetched")).withColumn("batch_id", F.lit(batch))
+        # C5 failure routing: non-200 / missing listings are logged as
+        # failed|missing rather than silently dropped (per-article
+        # try/except → sentinel, Daum_crawler.py:71-73, Google_Crawler.py:259-267)
+        frontier_log = (
+            dispatched.select("url_canon", "site", "seed_index", "page", "next_fetch_after")
+            .join(listings.select("url_canon", "http_status"), on="url_canon", how="left")
+            .withColumn(
+                "status",
+                F.when(F.col("http_status") == 200, F.lit("fetched"))
+                .when(F.col("http_status").isNotNull(), F.lit("failed"))
+                .otherwise(F.lit("missing")),
+            )
+            .drop("http_status")
+            .withColumn("batch_id", F.lit(batch))
+        )
 
         # ---- atomic snapshot commit (C6) ------------------------------------
         seen_delta = docs.select("url_canon")
