@@ -74,6 +74,33 @@ def keyword_arrays(include: list[str], exclude: list[str]) -> tuple[Column, Colu
     return inc, exc
 
 
+def relevance_udf_fast_factory(include: list[str], exclude: list[str]):
+    r"""Combined-automaton Arrow UDF: ONE alternation regex per
+    (list, semantics) instead of a scan per keyword — the Aho-Corasick
+    slot for News_keyword.json-scale configs (486+259 terms). Exact when
+    keywords don't overlap inside a match (regex findall is
+    non-overlapping); the per-keyword ``relevance_udf_factory`` remains
+    the reference-exact fallback. Signature: (text) -> bool with the
+    variant/min baked in at build time (wordset, min_include=2)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    inc = sorted({k.lower() for k in include}, key=len, reverse=True)
+    exc = sorted({k.lower() for k in exclude}, key=len, reverse=True)
+    inc_re = re.compile(r"\b(" + "|".join(re.escape(k) for k in inc) + r")\b")
+    exc_re = re.compile(r"\b(" + "|".join(re.escape(k) for k in exc) + r")\b")
+
+    @pandas_udf("boolean")
+    def relevance_fast(text: pd.Series) -> pd.Series:
+        low = text.fillna("").str.lower()
+        n_inc = low.str.findall(inc_re).map(lambda xs: len(set(xs)))
+        has_exc = low.str.contains(exc_re)
+        return (n_inc >= 2) & ~has_exc
+
+    return relevance_fast
+
+
 def relevance_udf_factory(include: list[str], exclude: list[str]):
     """Arrow/pandas UDF variant: vectorized pandas str.contains sweep with
     word-boundary regexes — the slot where an Aho-Corasick automaton goes
