@@ -92,6 +92,31 @@ def main() -> None:
     }
     timings["crawl_pipeline"] = round(crawl_wall, 3)
 
+    # ---- frontier hot path (the per-executor shape at 10^10 URLs) -------
+    from tools.frontier_throughput import messy_urls
+
+    from news_crawler_spark.functions.relevance import keyword_arrays, relevance_expr
+    from news_crawler_spark.functions.urls import canonicalize_expr
+    from news_crawler_spark.config import EXCLUDE_KEYWORDS, INCLUDE_KEYWORDS
+    from pyspark.sql import functions as F
+
+    n_hot = int(os.environ.get("BENCH_HOTPATH_URLS", "2000000"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    inc_arr, exc_arr = keyword_arrays(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
+    hot = (
+        messy_urls(spark, n_hot, cores)
+        .withColumn("url_canon",
+                    canonicalize_expr(F.col("href"), F.col("origin"), F.lit(False)))
+        .filter(F.col("url_canon").isNotNull())
+        .filter(relevance_expr(F.col("title"), F.lit("substring"), F.lit(True),
+                               inc_arr, exc_arr, F.lit(1)))
+        .dropDuplicates(["url_canon"])
+    )
+    t0 = time.time()
+    hot.count()
+    hot_wall = time.time() - t0
+    timings["frontier_hotpath"] = round(hot_wall, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total_wall",
@@ -100,6 +125,17 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "crawl": crawl,
+        "hotpath": {
+            "n_urls": n_hot,
+            "wall_s": round(hot_wall, 2),
+            "urls_per_sec": round(n_hot / hot_wall, 0),
+        },
+        "scaling": {
+            "note": "measured separately in fresh JVMs (tools/scaling_bench.py, "
+                    "tools/frontier_throughput.py) -> BENCH/BASELINE.md",
+            "operator_hotpath_eff_2_to_8_cores": 0.84,
+            "pipeline_eff_2_to_8_cores": 0.40,
+        },
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
     }))
     spark.stop()

@@ -66,3 +66,21 @@ def test_frontier_log_tracks_dispatches(spark, crawl_run):
     store, res = crawl_run
     log = store.read(spark, "frontier_log")
     assert log.count() == res.dispatched
+
+
+def test_parity_with_virtual_sites(spark, tmp_path):
+    """Frontier breadth (site_mult>1, the bench's scale knob) preserves
+    exact parity — virtual sites clone base profiles under new hosts."""
+    from news_crawler_spark.reference_model import run_reference_model
+    from news_crawler_spark.sources.world import world_dfs
+    from news_crawler_spark.synth import build_world
+
+    golden2 = run_reference_model(build_world(0.05, site_mult=2))
+    world2 = world_dfs(spark, 0.05, site_mult=2)
+    store = SnapshotStore(str(tmp_path / "mult_store"))
+    run_crawl(spark, world2, store, use_bloom=False, pages_per_batch=16)
+    rows = store.read(spark, "documents").collect()
+    eng = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans] for r in rows}
+    assert eng == {k: [tuple(s) for s in v] for k, v in golden2.docs.items()}
+    order = [r.url_canon for r in sorted(rows, key=lambda r: r.crawl_order)]
+    assert order == golden2.order

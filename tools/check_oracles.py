@@ -6,6 +6,7 @@ value hash. Usage: python tools/check_oracles.py [sf_dir] [only...]"""
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -49,7 +50,9 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(cores=8, shuffle_partitions=8)
+    ansi = os.environ.get("ORACLE_ANSI", "")
+    extra = {"spark.sql.ansi.enabled": ansi} if ansi else None
+    spark = get_spark(cores=8, shuffle_partitions=8, extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
