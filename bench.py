@@ -41,8 +41,8 @@ HEADLINE = [
 ]
 
 CRAWL_SCALE = float(os.environ.get("BENCH_CRAWL_SCALE", "2"))
-CRAWL_MULT = int(os.environ.get("BENCH_CRAWL_MULT", "24"))  # frontier breadth (hosts)
-CRAWL_K = int(os.environ.get("BENCH_CRAWL_K", "36"))        # pages per micro-batch window
+CRAWL_MULT = int(os.environ.get("BENCH_CRAWL_MULT", "96"))  # frontier breadth (hosts)
+CRAWL_K = int(os.environ.get("BENCH_CRAWL_K", "64"))        # pages per micro-batch window
 
 
 def main() -> None:
