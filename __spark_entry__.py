@@ -244,7 +244,9 @@ def q16_bloom_dedup(spark, sf):
     seen = o.filter(F.col("o_orderkey") % 2 == 0).select(
         F.concat(F.lit("https://ex.com/i/"), F.col("o_orderkey")).alias("url_canon")
     )
-    shards = bloom.build_shards(seen, n_shards=8, n_bits=1 << 16)
+    # persist: dedup_new inspects shard metadata then collects the bits —
+    # without caching the shard build would run twice
+    shards = bloom.build_shards(seen, n_shards=8, n_bits=1 << 16).persist()
     return bloom.dedup_new(cand, seen, shards, n_shards=8)
 
 

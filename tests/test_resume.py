@@ -59,3 +59,19 @@ def test_store_atomic_commit_and_gc(spark, tmp_store):
     import os
 
     assert len(os.listdir(os.path.join(tmp_store, "t"))) == 1
+
+
+def test_orphan_dirs_from_crashed_commit_are_ignored_and_gcd(spark, tmp_store):
+    """A crash between data writes and the manifest swap leaves orphan
+    version dirs; readers never see them and the next commit GCs them."""
+    import os
+
+    store = SnapshotStore(tmp_store)
+    store.commit(1, overwrite={"t": spark.createDataFrame([(1,)], "a int")})
+    # simulate a crashed commit: data written, manifest NOT swapped
+    orphan = os.path.join(tmp_store, "t", "v99")
+    spark.createDataFrame([(999,)], "a int").write.mode("overwrite").parquet(orphan)
+    assert [r.a for r in store.read(spark, "t").collect()] == [1]  # reader unaffected
+    store.commit(2, overwrite={"t": spark.createDataFrame([(2,)], "a int")})
+    assert not os.path.exists(orphan)  # GC'd at the next successful commit
+    assert [r.a for r in store.read(spark, "t").collect()] == [2]
