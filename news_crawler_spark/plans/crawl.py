@@ -230,7 +230,10 @@ def run_crawl(
         ).withColumnRenamed("url_canon", "d_url")
         cand = cand.join(detail, cand["url_canon"] == detail["d_url"], "left").drop("d_url")
 
-        pregate = cand.withColumn("ts", ts_e).withColumn("row_ok", row_ok_e).persist()
+        # localCheckpoint (not persist): caches AND severs lineage, so the
+        # analyzer stops re-walking the full gate tree on every downstream
+        # transformation (driver-serial, ~3s/window on wide worlds)
+        pregate = cand.withColumn("ts", ts_e).withColumn("row_ok", row_ok_e).localCheckpoint()
 
         stage_wall: dict[str, int] = {}
 
