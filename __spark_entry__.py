@@ -293,6 +293,17 @@ def d03_simhash(spark, sf):
     return simhash_docs(d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
 
 
+def d05_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs: hamming ≤ 8 within upper-16-bit blocks
+    (the banded join shape — no all-pairs)."""
+    from news_crawler_spark.operators.textdedup import simhash_near_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_near_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"), max_hamming=8
+    )
+
+
 def d04_ngram_jaccard(spark, sf):
     """Exact word-set Jaccard near-dups, lang-blocked, threshold 0.95."""
     d = _t(spark, sf, "documents")
@@ -315,6 +326,14 @@ def e02_cosine_near_dup(spark, sf):
     """Embedding near-dup pairs, cosine ≥ 0.4 (exact all-pairs at test SF)."""
     em = _t(spark, sf, "embeddings")
     return cosine_near_dup_pairs(em, threshold=0.4)
+
+
+def e04_sign_lsh_near_dup(spark, sf):
+    """Sign-LSH bucketed near-dup pairs: candidates must agree on the
+    sign pattern of the leading 2 dims (4 buckets) — the recall/cost
+    dial; cosine ≥ 0.35 verified exactly within buckets."""
+    em = _t(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(em, threshold=0.35, n_buckets=4).select("a", "b", "cos")
 
 
 def e03_ivf_ann(spark, sf):
@@ -428,9 +447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_minhash_lsh": d02_minhash_lsh,
         "d03_simhash": d03_simhash,
         "d04_ngram_jaccard": d04_ngram_jaccard,
+        "d05_simhash_pairs": d05_simhash_pairs,
         "e01_cosine_topk": e01_cosine_topk,
         "e02_cosine_near_dup": e02_cosine_near_dup,
         "e03_ivf_ann": e03_ivf_ann,
+        "e04_sign_lsh_near_dup": e04_sign_lsh_near_dup,
         "t01_lang_id": t01_lang_id,
         "t02_quality": t02_quality,
         "t03_token_counts": t03_token_counts,
@@ -643,6 +664,23 @@ def oracle_sql() -> dict[str, str]:
                           THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
             FROM h
         """,
+        "d05_simhash_pairs": f"""
+            WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            h AS (SELECT doc_id,
+                         list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+                  FROM w),
+            s AS (SELECT doc_id,
+                         list_sum(list_transform(range(0, 32), b ->
+                           CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                                THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+                  FROM h)
+            SELECT * FROM (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+              FROM s a JOIN s b
+                ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id)
+            WHERE hamming <= 8
+        """,
         "d04_ngram_jaccard": f"""
             WITH w AS (SELECT doc_id AS id, lang AS blk, {_WS} AS ws FROM documents)
             SELECT * FROM (
@@ -666,6 +704,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cos
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cos >= 0.4
+        """,
+        "e04_sign_lsh_near_dup": f"""
+            WITH v AS (SELECT vec_id, embedding,
+                              2 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                              + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS bkt
+                       FROM embeddings)
+            SELECT * FROM (
+              SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cos
+              FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+            WHERE cos >= 0.35
         """,
         "e03_ivf_ann": f"""
             WITH assign AS (

@@ -38,7 +38,7 @@ def absolutize_expr(href: Column, origin: Column) -> Column:
     """U1-U3: reject javascript:/empty, complete scheme-relative and
     relative hrefs. Returns NULL for rejected hrefs."""
     return (
-        F.when(href.isNull() | (href == "") | href.contains("javascript"), F.lit(None))
+        F.when(href.isNull() | (href == "") | F.lower(href).contains("javascript"), F.lit(None))
         .when(href.startswith("//"), F.concat(F.lit("https:"), href))
         .when(~F.lower(href).startswith("http"), F.concat(origin, href))
         .otherwise(href)
@@ -69,7 +69,15 @@ def canonicalize_expr(href: Column, origin: Column, strip_query: Column) -> Colu
     """
     url = absolutize_expr(href, origin)
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
-    host = F.lower(F.regexp_replace(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")), r"\.+$", ""))
+    # java.net.URI (parse_url) rejects some hosts urllib tolerates (e.g.
+    # consecutive trailing dots) — fall back to a netloc regex, matching
+    # urllib's everything-up-to-/?# behavior
+    netloc_fallback = F.nullif(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1), F.lit("")
+    )
+    host = F.lower(F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("HOST")), netloc_fallback, F.lit("")), r"\.+$", ""
+    ))
     path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
     qraw = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
     qkept = F.array_join(_kept_params(qraw), "&")
@@ -107,7 +115,7 @@ def canonicalize_udf_factory():
         from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
         def one(h, o, sq):
-            if h is None or not h or "javascript" in h:
+            if h is None or not h or "javascript" in h.lower():
                 return None
             if h.startswith("//"):
                 h = "https:" + h

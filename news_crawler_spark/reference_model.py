@@ -51,8 +51,9 @@ def canonicalize(href: str, site: str, strip_query: bool) -> str | None:
     canonicalizer must agree byte-for-byte)."""
     from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
-    if not href or "javascript" in href:
-        return None  # U1
+    if not href or "javascript" in href.lower():
+        return None  # U1 (case-insensitive — a mixed-case javascript: link
+        # would otherwise origin-prefix into an invalid-authority URL)
     if href.startswith("//"):
         href = "https:" + href  # U3
     elif not href.lower().startswith("http"):

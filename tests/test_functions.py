@@ -96,3 +96,59 @@ def test_korean_date_key(spark):
     df = spark.createDataFrame([("2025-06-14 10:00:00",)], "s string")
     out = df.select(korean_date_key_expr(F.col("s").cast("timestamp")).alias("k")).first()
     assert out.k == "2025년 06월 14일 토요일"
+
+
+def test_canonicalize_edge_cases(spark):
+    """Adversarial hrefs within the supported grammar (no ports/userinfo/
+    percent-encoding — SURVEY U4 notes the profile-parameterized scope):
+    both implementations must agree with the urllib oracle on each."""
+    cases = [
+        "",                                            # empty → reject
+        "javascript:void(0)",                          # U1
+        "JAVASCRIPT:alert(1)",                         # U1, case-insensitive
+        "/a/b",                                        # relative
+        "//H.EXample.COM/x",                           # scheme-relative, mixed case
+        "HTTP://h.example.com./x?b=&a=1#f",            # blank value, trailing dot
+        "https://h.example.com/x?a=1&a=2&b=3",         # duplicate keys
+        "https://h.example.com/x?utm_source=a&utm=b&ref=c&refresh=d&a=9",
+        "https://h.example.com/x?&&a=1&&",             # empty segments
+        "https://h.example.com/x#only-fragment",
+        "https://h.example.com/x?#",                   # empty query+fragment
+        "https://h.example.com...../x",                # many trailing dots in host
+        "https://h.example.com/x?A=1&a=1",             # case-distinct keys
+    ]
+    origin = "https://base.example.com"
+    df = spark.createDataFrame([(c,) for c in cases], "href string")
+    udf = canonicalize_udf_factory()
+    out = df.select(
+        "href",
+        canonicalize_expr(F.col("href"), F.lit(origin), F.lit(False)).alias("native"),
+        udf(F.col("href"), F.lit(origin), F.lit(False)).alias("viaudf"),
+    ).collect()
+    from news_crawler_spark.config import PROFILES
+
+    site = PROFILES[0].site  # origin_of(site) differs from `origin`, so
+    # compute the oracle with an explicit-origin variant:
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    def oracle(h):
+        if not h or "javascript" in h.lower():
+            return None
+        if h.startswith("//"):
+            h = "https:" + h
+        elif not h.lower().startswith("http"):
+            h = origin + h
+        p = urlsplit(h)
+        kept = [
+            (k, v) for k, v in parse_qsl(p.query, keep_blank_values=True)
+            if not any(k.lower().startswith(t) or k.lower() == t.rstrip("_")
+                       for t in ("utm_", "ref"))
+        ]
+        kept.sort()
+        return urlunsplit((p.scheme.lower(), p.netloc.lower().rstrip("."),
+                           p.path, urlencode(kept), ""))
+
+    for r in out:
+        exp = oracle(r.href)
+        assert r.native == exp, (r.href, r.native, exp)
+        assert r.viaudf == exp, (r.href, r.viaudf, exp)
