@@ -92,14 +92,6 @@ def canonicalize_expr(href: Column, origin: Column, strip_query: Column) -> Colu
     return F.when(url.isNull(), F.lit(None)).otherwise(out)
 
 
-def url_host_expr(url_canon: Column) -> Column:
-    return F.parse_url(url_canon, F.lit("HOST"))
-
-
-def url_path_expr(url_canon: Column) -> Column:
-    return F.coalesce(F.parse_url(url_canon, F.lit("PATH")), F.lit(""))
-
-
 def canonicalize_udf_factory():
     """Arrow/pandas UDF with exact urllib semantics (U1-U5).
 

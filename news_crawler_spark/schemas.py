@@ -54,6 +54,9 @@ SEEDS = T.StructType(
     ]
 )
 
+# Realized as two tables in the snapshot store: ``frontier_pending``
+# (overwrite: next window's due rows) and ``frontier_log`` (append:
+# every dispatch with status fetched|failed|missing + politeness slot).
 FRONTIER = T.StructType(
     [
         T.StructField("url_canon", T.StringType(), False),
@@ -126,10 +129,12 @@ LISTING_ITEM = T.StructType(
     ]
 )
 
-# Intermediate: parsed article-detail page (SURVEY P3).
+# Intermediate: parsed article-detail page (SURVEY P3). a_status carries
+# the fetch http_status so the pipeline needs a single join (C5).
 ARTICLE_DETAIL = T.StructType(
     [
         T.StructField("url_canon", T.StringType(), False),
+        T.StructField("a_status", T.IntegerType(), True),
         T.StructField("d_title", T.StringType(), True),
         T.StructField("d_time_str", T.StringType(), True),
         T.StructField("d_summary", T.StringType(), True),
