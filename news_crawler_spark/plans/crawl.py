@@ -383,8 +383,19 @@ def run_crawl(
                 .otherwise(F.lit("missing")),
             )
             .drop("http_status")
+            .withColumn("depth", F.lit(0))
             .withColumn("batch_id", F.lit(batch))
         )
+        # article-detail fetches are frontier rows too (depth 1): the
+        # frontier log lists every URL the engine fetched this window
+        article_log = docs.select(
+            "url_canon", "site", "seed_index", "page",
+            F.lit(None).cast("timestamp").alias("next_fetch_after"),
+            F.lit("fetched").alias("status"),
+            F.lit(1).alias("depth"),
+            F.lit(batch).alias("batch_id"),
+        )
+        frontier_log = frontier_log.unionByName(article_log)
 
         # ---- atomic snapshot commit (C6) ------------------------------------
         seen_delta = docs.select("url_canon")

@@ -62,10 +62,14 @@ def test_metrics_lineage_present(spark, crawl_run):
     assert len(batches) == res.batches
 
 
-def test_frontier_log_tracks_dispatches(spark, crawl_run):
+def test_frontier_log_tracks_all_fetches(spark, crawl_run):
+    from pyspark.sql import functions as F
+
     store, res = crawl_run
     log = store.read(spark, "frontier_log")
-    assert log.count() == res.dispatched
+    # depth 0 = listing dispatches, depth 1 = article-detail fetches
+    assert log.filter(F.col("depth") == 0).count() == res.dispatched
+    assert log.filter(F.col("depth") == 1).count() == res.accepted
 
 
 def test_parity_with_virtual_sites(spark, tmp_path):
