@@ -58,31 +58,9 @@ def build_shards(
         table = np.zeros((buckets_per_shard, SLOTS), dtype=np.uint16)
         fp, h1 = _fingerprints(pdf["url_canon"])
         i1 = (h1 // np.uint64(n_shards)) % nb
-        rng_state = np.uint64(0x9E3779B97F4A7C15)
-        for f, b in zip(fp, i1):
-            f = np.uint16(f)
-            cur = int(b)
-            placed = False
-            for _kick in range(500):
-                row = table[cur]
-                empty = np.flatnonzero(row == 0)
-                if empty.size:
-                    table[cur, empty[0]] = f
-                    placed = True
-                    break
-                # evict a pseudo-random slot (deterministic stream)
-                rng_state = (rng_state * np.uint64(6364136223846793005)
-                             + np.uint64(1442695040888963407)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-                slot = int(rng_state % np.uint64(SLOTS))
-                f, table[cur, slot] = table[cur, slot], f
-                cur = int(_alt_bucket(np.uint64(cur), np.uint64(f), nb))
-            if not placed:
-                raise RuntimeError(
-                    f"cuckoo shard {sid} overflow at load {np.count_nonzero(table)}"
-                    f"/{table.size} — increase buckets_per_shard or n_shards"
-                )
+        n = _insert_into_table(table, fp, i1, nb, sid)
         return pd.DataFrame(
-            [[sid, buckets_per_shard, table.tobytes(), version, len(pdf)]],
+            [[sid, buckets_per_shard, table.tobytes(), version, n]],
             columns=["shard_id", "n_buckets", "table", "version", "n_items"],
         )
 
@@ -123,6 +101,77 @@ def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
         return pd.Series(out)
 
     return candidates.withColumn("maybe_seen", cuckoo_maybe_seen(F.col(url_col)))
+
+
+def _insert_into_table(table: np.ndarray, fp: np.ndarray, i1: np.ndarray,
+                       nb: np.uint64, sid: int) -> int:
+    rng_state = np.uint64(0x9E3779B97F4A7C15)
+    inserted = 0
+    for f, b in zip(fp, i1):
+        f = np.uint16(f)
+        cur = int(b)
+        placed = False
+        for _kick in range(500):
+            row = table[cur]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                table[cur, empty[0]] = f
+                placed = True
+                break
+            rng_state = (rng_state * np.uint64(6364136223846793005)
+                         + np.uint64(1442695040888963407)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            slot = int(rng_state % np.uint64(SLOTS))
+            f, table[cur, slot] = table[cur, slot], f
+            cur = int(_alt_bucket(np.uint64(cur), np.uint64(f), nb))
+        if not placed:
+            raise RuntimeError(f"cuckoo shard {sid} overflow — resize")
+        inserted += 1
+    return inserted
+
+
+def insert_urls(shards: DataFrame, urls: DataFrame, n_shards: int = 32,
+                buckets_per_shard: int = 1 << 14) -> DataFrame:
+    """Incremental insert (the per-window seen-delta update). Shards with
+    no prior row are created fresh at ``buckets_per_shard``."""
+
+    def apply_inserts(key, shard_pdf: pd.DataFrame, ins_pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(key[0])
+        if shard_pdf.empty:
+            table = np.zeros((buckets_per_shard, SLOTS), dtype=np.uint16)
+            nb = np.uint64(buckets_per_shard)
+            version, n_items = 0, 0
+        else:
+            row = shard_pdf.iloc[0]
+            table = np.frombuffer(row["table"], dtype=np.uint16).reshape(-1, SLOTS).copy()
+            nb = np.uint64(int(row["n_buckets"]))
+            version, n_items = int(row["version"]), int(row["n_items"])
+        if not ins_pdf.empty:
+            fp, h1 = _fingerprints(ins_pdf["url_canon"])
+            i1 = (h1 // np.uint64(n_shards)) % nb
+            n_items += _insert_into_table(table, fp, i1, nb, sid)
+        return pd.DataFrame(
+            [[sid, int(nb), table.tobytes(), version + 1, n_items]],
+            columns=["shard_id", "n_buckets", "table", "version", "n_items"],
+        )
+
+    routed = urls.withColumn("shard_id", shard_id_col(F.col("url_canon"), n_shards))
+    return (
+        shards.groupBy("shard_id")
+        .cogroup(routed.groupBy("shard_id"))
+        .applyInPandas(apply_inserts, schema=CUCKOO_SCHEMA)
+    )
+
+
+def dedup_new(candidates: DataFrame, seen: DataFrame, shards: DataFrame | None,
+              url_col: str = "url_canon", n_shards: int = 32) -> DataFrame:
+    """D1 with the cuckoo arm: same routing contract as bloom.dedup_new —
+    negatives skip the exact anti-join, positives take it."""
+    if shards is None:
+        return candidates.join(seen, on=url_col, how="left_anti")
+    flagged = probe_broadcast(candidates, shards.collect(), n_shards, url_col)
+    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definite_new.unionByName(maybe.join(seen, on=url_col, how="left_anti"))
 
 
 def delete_urls(shards: DataFrame, urls: DataFrame, n_shards: int = 32) -> DataFrame:

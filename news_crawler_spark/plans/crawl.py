@@ -54,7 +54,7 @@ from ..config import BATCH_TS, EXCLUDE_KEYWORDS, INCLUDE_KEYWORDS
 from ..functions.relevance import keyword_arrays, relevance_expr
 from ..functions.timeparse import batch_ts_lit, freshness_filter_expr, parse_time_expr
 from ..functions.urls import canonicalize_expr
-from ..operators import bloom
+from ..operators import bloom, cuckoo
 from ..operators.fuzzy import fuzzy_gate
 from ..operators.parse import parse_article, parse_listing
 from ..operators.scheduler import order_key_col, schedule
@@ -90,6 +90,7 @@ def run_crawl(
     store: SnapshotStore,
     batch_ts: str = BATCH_TS,
     use_bloom: bool = True,
+    seen_filter: str | None = None,   # 'bloom' | 'cuckoo' | 'none'; None → from use_bloom
     n_bloom_shards: int = bloom.DEFAULT_N_SHARDS,
     n_salts: int = 4,
     pages_per_batch: int = 1,
@@ -105,6 +106,8 @@ def run_crawl(
     inc_arr, exc_arr = keyword_arrays(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
     bts = batch_ts_lit(batch_ts)
     K = pages_per_batch
+    if seen_filter is None:
+        seen_filter = "bloom" if use_bloom else "none"
     res = CrawlResult()
     _t_prelude = time.time()
 
@@ -216,11 +219,16 @@ def run_crawl(
         cand = cand.withColumn("order_key", order_key_e)
 
         # D1: cross-batch seen — seen rows can neither accept nor claim
-        # first-occurrence, so dropping them entirely is exact
+        # first-occurrence, so dropping them entirely is exact. The
+        # prefilter arm (bloom or cuckoo) only routes; the anti-join decides.
         seen = store.read(spark, "seen")
-        shards = store.read(spark, "bloom_shards") if use_bloom else None
         if seen is not None:
-            cand = bloom.dedup_new(cand, seen, shards, n_shards=n_bloom_shards)
+            if seen_filter == "cuckoo":
+                cshards = store.read(spark, "cuckoo_shards")
+                cand = cuckoo.dedup_new(cand, seen, cshards, n_shards=n_bloom_shards)
+            else:
+                shards = store.read(spark, "bloom_shards") if seen_filter == "bloom" else None
+                cand = bloom.dedup_new(cand, seen, shards, n_shards=n_bloom_shards)
 
         # S3/P3: article detail where the profile needs it (single join;
         # parse carries http_status — C5 failure routing)
@@ -411,12 +419,19 @@ def run_crawl(
                 FUZZY_SCHEMA,
             ),
         }
-        if use_bloom:
+        if seen_filter == "bloom":
             delta_shards = bloom.build_shards(seen_delta, n_shards=n_bloom_shards, version=batch)
             prev_shards = store.read(spark, "bloom_shards")
             overwrite["bloom_shards"] = (
                 bloom.merge_shards(prev_shards, delta_shards)
                 if prev_shards is not None else delta_shards
+            )
+        elif seen_filter == "cuckoo":
+            prev_c = store.read(spark, "cuckoo_shards")
+            overwrite["cuckoo_shards"] = (
+                cuckoo.insert_urls(prev_c, seen_delta, n_shards=n_bloom_shards)
+                if prev_c is not None
+                else cuckoo.build_shards(seen_delta, n_shards=n_bloom_shards, version=batch)
             )
         _clock("prep", t0)
         t0 = time.time()
