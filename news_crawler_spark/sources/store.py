@@ -75,6 +75,27 @@ class SnapshotStore:
     def exists(self, name: str) -> bool:
         return bool(self.manifest()["tables"].get(name, {}).get("dirs"))
 
+    def read_at_batch(self, spark: SparkSession, name: str, batch_id: int) -> DataFrame | None:
+        """Time travel for append tables: the table as of a committed
+        batch (Iceberg snapshot-read semantics). Append deltas are named
+        by the version that committed them and the manifest history maps
+        batch→version, so the as-of state is the delta dirs with version
+        ≤ that batch's version. Overwrite tables are not time-travelable
+        here (superseded versions are GC'd — by design, they are derived
+        state rebuilt each window)."""
+        man = self.manifest()
+        entry = man["tables"].get(name)
+        if not entry or entry.get("mode") != "append":
+            return None
+        version_of = {h["batch_id"]: h["version"] for h in man.get("history", [])}
+        if batch_id not in version_of:
+            return None
+        vmax = version_of[batch_id]
+        dirs = [d for d in entry["dirs"] if int(d.rsplit("/v", 1)[1]) <= vmax]
+        if not dirs:
+            return None
+        return spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+
     # ------------------------------------------------------------ commit
 
     def commit(

@@ -75,3 +75,20 @@ def test_orphan_dirs_from_crashed_commit_are_ignored_and_gcd(spark, tmp_store):
     store.commit(2, overwrite={"t": spark.createDataFrame([(2,)], "a int")})
     assert not os.path.exists(orphan)  # GC'd at the next successful commit
     assert [r.a for r in store.read(spark, "t").collect()] == [2]
+
+
+def test_time_travel_append_tables(spark, world, tmp_path):
+    """read_at_batch: documents as of window k equals what window k had
+    committed (Iceberg snapshot-read semantics on the append deltas)."""
+    store = SnapshotStore(str(tmp_path / "tt"))
+    run_crawl(spark, world, store, use_bloom=False, pages_per_batch=2)
+    assert store.last_batch_id >= 2
+    full = store.read(spark, "documents").count()
+    at1 = store.read_at_batch(spark, "documents", 1)
+    n1 = at1.count()
+    assert 0 < n1 < full
+    # as-of rows are exactly the batch_id ≤ 1 subset of the live table
+    live_b1 = store.read(spark, "documents").filter("batch_id <= 1").count()
+    assert n1 == live_b1
+    assert store.read_at_batch(spark, "documents", 999) is None
+    assert store.read_at_batch(spark, "seed_state", 1) is None  # overwrite table
