@@ -104,11 +104,13 @@ def minhash_lsh_pairs(
     quadratic."""
     n_bands = n_hashes // band_size
     sh = shingles_expr(F.col(text_col), shingle_n)
+    # persist: the banded view is consumed twice per self-join side — the
+    # (shingle → md5-fold) subtree would otherwise evaluate 4×
     sigs = docs.select(
         F.col(id_col).alias("id"),
         sh.alias("ws"),
         minhash_signature_expr(sh, n_hashes).alias("sig"),
-    )
+    ).persist()
     banded = sigs.select(
         "id",
         "ws",
