@@ -381,6 +381,71 @@ def t04_fingerprint(spark, sf):
     return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
 
 
+def p01_html_extract(spark, sf):
+    """P1/P2 real-HTML extraction oracle: build one listing page per
+    document (nate layout: div.mlt01 / a.lt1 / h2.tit — Nate_Crawler.py:
+    141,73-121) with entity-escaped titles, whitespace padding and decoy
+    header markup, run the engine's selector-based mapInPandas parser,
+    and let DuckDB reconstruct the expected fields directly."""
+    from news_crawler_spark.operators.parse import parse_listing
+
+    d = _t(spark, sf, "documents")
+    title = F.concat(F.col("source"), F.lit(" R&D "), F.col("lang"))
+    esc_title = F.regexp_replace(title, "&", "&amp;")
+    time_s = F.concat(
+        F.lit("06-"), F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit(" 10:30"),
+    )
+    html = F.concat(
+        F.lit('<html><body><div class="gnb"><a class="lt1" href="/decoy">x</a></div>'
+              '<div class="mlt01">\n<a class="lt1" href="/art/'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><h2 class="tit">\n  '),
+        esc_title,
+        F.lit(' </h2></a>\n<span class="medium"><em>'),
+        time_s,
+        F.lit("</em></span>\n</div></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://ex.com/list/"), F.col("doc_id").cast("string"))
+        .alias("url_canon"),
+        F.lit("nate").alias("site"),
+        F.lit(0).alias("seed_index"),
+        F.lit(1).alias("page"),
+        F.encode(html, "utf-8").alias("content"),
+        F.lit("utf-8").alias("charset"),
+    )
+    return parse_listing(pages).select(
+        F.col("url_canon").alias("page_url"), "href", "title", "time_str"
+    )
+
+
+def k01_keyword_flatten(spark, sf):
+    """S4 keyword-config scan at News_keyword.json scale: category-
+    structured JSON (7 include / 10 exclude categories; 486/259 terms)
+    flattened to keywords(kind, category, keyword) — the flatten every
+    reference crawler performs at import (Daum_crawler.py:17-23)."""
+    import json
+
+    from news_crawler_spark.synth import make_keyword_config
+
+    js = json.dumps(make_keyword_config(), ensure_ascii=False)
+    schema = ("keywords array<struct<category:string,items:array<string>>>, "
+              "exclude_keywords array<struct<category:string,items:array<string>>>")
+    cfg = spark.range(1).select(F.from_json(F.lit(js), schema).alias("c"))
+    inc = cfg.select(F.explode("c.keywords").alias("cat")).select(
+        F.lit("include").alias("kind"),
+        F.col("cat.category").alias("category"),
+        F.explode("cat.items").alias("keyword"),
+    )
+    exc = cfg.select(F.explode("c.exclude_keywords").alias("cat")).select(
+        F.lit("exclude").alias("kind"),
+        F.col("cat.category").alias("category"),
+        F.explode("cat.items").alias("keyword"),
+    )
+    return inc.unionByName(exc)
+
+
 def m01_image_meta(spark, sf):
     """Multimodal plumbing (rows-only check): binary payload column →
     typed image metadata via mapInPandas stub decoder."""
@@ -452,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e02_cosine_near_dup": e02_cosine_near_dup,
         "e03_ivf_ann": e03_ivf_ann,
         "e04_sign_lsh_near_dup": e04_sign_lsh_near_dup,
+        "p01_html_extract": p01_html_extract,
+        "k01_keyword_flatten": k01_keyword_flatten,
         "t01_lang_id": t01_lang_id,
         "t02_quality": t02_quality,
         "t03_token_counts": t03_token_counts,
@@ -465,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WS = r"list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))"
 _WS_RAW = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+# Unicode word set (runs of letters/digits/underscore) — the engine's
+# word_set_expr/uwords_expr twin; identical to _WS on the space-separated
+# ASCII testdata, but correct on Hangul/punctuation (ADVICE round 1).
+_UW = r"list_distinct(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+'))"
 _KOR_DAY = (
     "CASE dayofweek(o_orderdate) WHEN 0 THEN '일요일' WHEN 1 THEN '월요일' "
     "WHEN 2 THEN '화요일' WHEN 3 THEN '수요일' WHEN 4 THEN '목요일' "
@@ -494,8 +565,8 @@ _REL_SUB = (
     "AND NOT contains(lower(text),'error'))"
 )
 _REL_WORD = (
-    f"(len(list_intersect({_WS}, ['spark','query','table','join','stream'])) >= 2 "
-    f"AND len(list_intersect({_WS}, ['error'])) = 0)"
+    f"(len(list_intersect({_UW}, ['spark','query','table','join','stream'])) >= 2 "
+    f"AND len(list_intersect({_UW}, ['error'])) = 0)"
 )
 
 _MINHASH_SIG = ", ".join(
@@ -508,6 +579,29 @@ _LANG_HITS = {
     "de": "len(list_intersect(toks, ['der','die','das','und','nicht']))",
     "fr": "len(list_intersect(toks, ['le','la','les','et','que']))",
 }
+
+
+def _k01_sql() -> str:
+    """The keyword-flatten oracle embeds the same deterministic config
+    JSON the Spark query parses (synthetic, News_keyword.json-shaped)."""
+    import json
+
+    from news_crawler_spark.synth import make_keyword_config
+
+    js = json.dumps(make_keyword_config(), ensure_ascii=False)
+    return f"""
+        WITH cfg AS (SELECT '{js}'::JSON AS j),
+        inc AS (SELECT unnest(json_extract(j, '$.keywords[*]')) AS o FROM cfg),
+        exc AS (SELECT unnest(json_extract(j, '$.exclude_keywords[*]')) AS o FROM cfg)
+        SELECT 'include' AS kind, json_extract_string(o, '$.category') AS category,
+               unnest(CAST(json_extract(o, '$.items') AS VARCHAR[])) AS keyword FROM inc
+        UNION ALL
+        SELECT 'exclude', json_extract_string(o, '$.category'),
+               unnest(CAST(json_extract(o, '$.items') AS VARCHAR[])) FROM exc
+    """
+
+
+_K01_SQL = _k01_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -654,7 +748,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, jac FROM cand WHERE jac >= 0.9
         """,
         "d03_simhash": f"""
-            WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            WITH w AS (SELECT doc_id, {_UW} AS ws FROM documents),
             h AS (SELECT doc_id,
                          list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
                   FROM w)
@@ -665,7 +759,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "d05_simhash_pairs": f"""
-            WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+            WITH w AS (SELECT doc_id, {_UW} AS ws FROM documents),
             h AS (SELECT doc_id,
                          list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
                   FROM w),
@@ -682,7 +776,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE hamming <= 8
         """,
         "d04_ngram_jaccard": f"""
-            WITH w AS (SELECT doc_id AS id, lang AS blk, {_WS} AS ws FROM documents)
+            WITH w AS (SELECT doc_id AS id, lang AS blk, {_UW} AS ws FROM documents)
             SELECT * FROM (
               SELECT a.id AS a, b.id AS b,
                      round(len(list_intersect(a.ws, b.ws))::DOUBLE /
@@ -739,8 +833,17 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
             FROM scored QUALIFY rank <= 5
         """,
+        "p01_html_extract": """
+            SELECT 'https://ex.com/list/' || doc_id AS page_url,
+                   '/art/' || doc_id AS href,
+                   source || ' R&D ' || lang AS title,
+                   '06-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') || ' 10:30'
+                     AS time_str
+            FROM documents
+        """,
+        "k01_keyword_flatten": _K01_SQL,
         "t01_lang_id": f"""
-            WITH t AS (SELECT doc_id, {_WS} AS toks FROM documents),
+            WITH t AS (SELECT doc_id, {_UW} AS toks FROM documents),
             h AS (SELECT doc_id,
                          {_LANG_HITS['de']} AS h_de, {_LANG_HITS['en']} AS h_en,
                          {_LANG_HITS['es']} AS h_es, {_LANG_HITS['fr']} AS h_fr

@@ -26,8 +26,14 @@ from pyspark.sql import functions as F
 
 
 def _words_expr(low: Column) -> Column:
-    r"""Tokenize like re.findall(r'\b\w+\b', low): split on non-word runs."""
-    return F.array_distinct(F.filter(F.split(low, r"\W+"), lambda x: x != ""))
+    r"""Tokenize like Python re.findall(r'\b\w+\b', low) — **Unicode**
+    word semantics. Java-regex ``\W`` is ASCII-only, which silently
+    tokenizes Hangul (the reference's actual data, FNToday_Crawler.py:
+    51-55) to nothing; extracting runs of ``[\p{L}\p{N}_]`` matches
+    Python's Unicode ``\w`` on the corpus vocabulary."""
+    from .textstats import uwords_expr
+
+    return F.array_distinct(uwords_expr(low))
 
 
 def substring_count_expr(low: Column, kws: Column) -> Column:

@@ -29,6 +29,17 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda x: x != "")
 
 
+def uwords_expr(text: Column) -> Column:
+    r"""**Unicode** word extraction — runs of ``[\p{L}\p{N}_]`` — matching
+    Python's ``\b\w+\b`` on Hangul/CJK where Java-regex ``\W`` (ASCII)
+    drops every non-ASCII char. The word-set substrate for relevance,
+    dedup word sets, and language-ID."""
+    return F.filter(
+        F.regexp_extract_all(text, F.lit(r"[\p{L}\p{N}_]+"), F.lit(0)),
+        lambda x: x != "",
+    )
+
+
 def token_count_expr(text: Column) -> Column:
     return F.size(tokens_expr(text))
 
@@ -61,8 +72,9 @@ def quality_score_expr(text: Column) -> Column:
 
 def lang_id_expr(text: Column) -> Column:
     """Marker-hit argmax language ID; ties broken by language-code order,
-    'und' when no marker hits."""
-    toks = F.array_distinct(tokens_expr(F.lower(text)))
+    'und' when no marker hits. Unicode word extraction so punctuation-
+    attached markers still count."""
+    toks = F.array_distinct(uwords_expr(F.lower(text)))
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms])))
         for lang, ms in sorted(LANG_MARKERS.items())

@@ -3,14 +3,24 @@
 The reference parses row-at-a-time with BeautifulSoup per site selector
 (P1 selectors, e.g. Naver_Crawler.py:109, Gukje_Crawler.py:103). Here a
 page is one row of the replayed corpus and parsing is ``mapInPandas``:
-Arrow batches in, vectorized pandas ``str.extractall`` over the decoded
-markup, one output row per extracted item (a UDTF-shaped 1→N operator).
-``dom_pos`` comes from the markup itself so downstream crawl order is
-deterministic (SURVEY §3.4) — no dependence on task scheduling.
+Arrow batches of pages in, a from-scratch selector engine
+(``operators/htmlsel.py``) applies the site's extraction profile
+(``selectors.py`` — container selector + per-field fallback chains),
+one output row per extracted item (a UDTF-shaped 1→N operator).
+``dom_pos`` is the document order of container matches, so downstream
+crawl order is deterministic (SURVEY §3.4) — no dependence on task
+scheduling.
+
+HTML parsing is the sanctioned Python-in-UDF slot (SURVEY §2.10): the
+work is inherently per-page tree construction, exactly what the
+reference spends its time on — but batched through Arrow and spread
+across executors, never on the driver.
 
 Charset handling is part of the data model (SkyDaily forces EUC-KR,
-SkyDaily_Crawler.py:70,146): ``content`` is binary + ``charset`` column,
-decode happens here.
+SkyDaily_Crawler.py:70,146; Google sniffs ``apparent_encoding``,
+Google_Crawler.py:155): ``content`` is binary + ``charset`` column;
+decode happens here, with a declared-charset → UTF-8 → Latin-1 fallback
+chain standing in for encoding sniffing on replayed bytes.
 """
 
 from __future__ import annotations
@@ -20,17 +30,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-# Matches the synthetic wire format (synth.listing_content). A real
-# deployment swaps this for selectolax per site profile; the operator
-# shape (mapInPandas, 1 page → N item rows) is the same.
-LISTING_PAT = (
-    r'<item pos="(?P<dom_pos>\d+)" href="(?P<href>[^"]*)" title="(?P<title>[^"]*)"'
-    r' lead="(?P<lead>[^"]*)" time="(?P<time_str>[^"]*)" img="(?P<img>[^"]*)"/>'
-)
-ARTICLE_PAT = (
-    r'<article title="(?P<d_title>[^"]*)" time="(?P<d_time_str>[^"]*)"'
-    r' summary="(?P<d_summary>[^"]*)" img="(?P<d_img>[^"]*)"/>'
-)
+from ..config import base_site
+from ..selectors import extract_article_fields, extract_listing_items
+from .htmlsel import parse_html
 
 LISTING_OUT_SCHEMA = (
     "url_canon string, site string, seed_index int, page int, "
@@ -42,14 +44,17 @@ ARTICLE_OUT_SCHEMA = (
 )
 
 
-def _decode(content: pd.Series, charset: pd.Series) -> pd.Series:
-    # Two charsets in the corpus; decode per distinct charset (vector-ish:
-    # one pass per charset value, not per row).
-    out = pd.Series("", index=content.index, dtype=object)
-    for cs in charset.dropna().unique():
-        m = charset == cs
-        out.loc[m] = content.loc[m].map(lambda b, _cs=cs: b.decode(_cs) if b is not None else "")
-    return out
+def _decode(content: bytes | None, charset: str | None) -> str:
+    """Declared charset first (the corpus carries it), then the sniffing
+    fallbacks a real fetcher needs (Google_Crawler.py:155)."""
+    if not content:
+        return ""
+    for cs in (charset or "utf-8", "utf-8", "latin-1"):
+        try:
+            return content.decode(cs)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return ""
 
 
 def parse_listing(pages: DataFrame) -> DataFrame:
@@ -62,15 +67,25 @@ def parse_listing(pages: DataFrame) -> DataFrame:
         for pdf in it:
             if pdf.empty:
                 continue
-            text = _decode(pdf["content"], pdf["charset"])
-            hits = text.str.extractall(LISTING_PAT)
-            if hits.empty:
-                continue
-            hits = hits.reset_index(level=1, drop=True)
-            meta = pdf[["url_canon", "site", "seed_index", "page"]]
-            out = meta.join(hits, how="inner")
-            out["dom_pos"] = out["dom_pos"].astype("int32")
-            yield out.reset_index(drop=True)
+            rows: list[tuple] = []
+            for url, site, seed_index, page, content, charset in zip(
+                pdf["url_canon"], pdf["site"], pdf["seed_index"], pdf["page"],
+                pdf["content"], pdf["charset"],
+            ):
+                root = parse_html(_decode(content, charset))
+                for item in extract_listing_items(base_site(site), url, root):
+                    rows.append(
+                        (url, site, seed_index, page, item["dom_pos"], item["href"],
+                         item["title"], item["lead"], item["time_str"], item["img"])
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["url_canon", "site", "seed_index", "page", "dom_pos",
+                         "href", "title", "lead", "time_str", "img"],
+            )
+            for c in ("seed_index", "page", "dom_pos"):
+                out[c] = out[c].astype("int32")
+            yield out
 
     cols = ["url_canon", "site", "seed_index", "page", "content", "charset"]
     return pages.select(*cols).mapInPandas(gen, schema=LISTING_OUT_SCHEMA)
@@ -81,25 +96,32 @@ def parse_article(pages: DataFrame) -> DataFrame:
     http_status so the caller needs a single join (C5 failure routing:
     non-200 pages keep NULL fields and are rejected downstream).
 
-    Input columns: url_canon, http_status, content, charset.
+    Input columns: url_canon, site, http_status, content, charset.
     """
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
-            ok = pdf["http_status"] == 200
-            text = _decode(pdf.loc[ok, "content"], pdf.loc[ok, "charset"])
-            hits = text.str.extract(ARTICLE_PAT) if ok.any() else pd.DataFrame()
-            out = pdf[["url_canon", "http_status"]].rename(
-                columns={"http_status": "a_status"}
-            ).reset_index(drop=True)
-            hits = hits.reindex(pdf.index).reset_index(drop=True)
-            for c in ("d_title", "d_time_str", "d_summary", "d_img"):
-                out[c] = hits[c] if c in hits else None
-            # pages whose markup has no <article> element yield NULL fields
-            yield out
+            rows: list[tuple] = []
+            for url, site, status, content, charset in zip(
+                pdf["url_canon"], pdf["site"], pdf["http_status"],
+                pdf["content"], pdf["charset"],
+            ):
+                if status != 200:
+                    rows.append((url, int(status), None, None, None, None))
+                    continue
+                f = extract_article_fields(base_site(site), parse_html(_decode(content, charset)))
+                rows.append(
+                    (url, int(status), f["d_title"], f["d_time_str"],
+                     f["d_summary"], f["d_img"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["url_canon", "a_status", "d_title", "d_time_str",
+                         "d_summary", "d_img"],
+            )
 
-    return pages.select("url_canon", "http_status", "content", "charset").mapInPandas(
+    return pages.select("url_canon", "site", "http_status", "content", "charset").mapInPandas(
         gen, schema=ARTICLE_OUT_SCHEMA
     )

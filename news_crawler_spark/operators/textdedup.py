@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textstats import fingerprint_expr, tokens_expr
+from ..functions.textstats import fingerprint_expr, tokens_expr, uwords_expr
 
 
 # ------------------------------------------------------------------ exact
@@ -42,7 +42,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ------------------------------------------------------------------ words / shingles
 
 def word_set_expr(text: Column) -> Column:
-    return F.array_distinct(tokens_expr(F.lower(text)))
+    """Unicode word set (``[\\p{L}\\p{N}_]+`` runs) — ASCII ``\\W``-split
+    would empty out Hangul documents (ADVICE round 1)."""
+    return F.array_distinct(uwords_expr(F.lower(text)))
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:

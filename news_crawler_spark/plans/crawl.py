@@ -50,7 +50,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..config import BATCH_TS, EXCLUDE_KEYWORDS, INCLUDE_KEYWORDS
+from .. import config
+from ..config import BATCH_TS
 from ..functions.relevance import keyword_arrays, relevance_expr
 from ..functions.timeparse import batch_ts_lit, freshness_filter_expr, parse_time_expr
 from ..functions.urls import canonicalize_expr
@@ -96,6 +97,8 @@ def run_crawl(
     pages_per_batch: int = 1,
     max_batches: int = 10_000,
     fail_after_batch: int | None = None,
+    include_keywords: list[str] | None = None,
+    exclude_keywords: list[str] | None = None,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
     committing one snapshot per window; resumes from the store's last
@@ -103,7 +106,11 @@ def run_crawl(
     corpus, seeds, robots = world["corpus"], world["seeds"], world["robots"]
     listings = corpus.filter(F.col("page_kind") == "listing")
     articles = corpus.filter(F.col("page_kind") == "article")
-    inc_arr, exc_arr = keyword_arrays(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
+    if include_keywords is None:
+        include_keywords = config.INCLUDE_KEYWORDS
+    if exclude_keywords is None:
+        exclude_keywords = config.EXCLUDE_KEYWORDS
+    inc_arr, exc_arr = keyword_arrays(include_keywords, exclude_keywords)
     bts = batch_ts_lit(batch_ts)
     K = pages_per_batch
     if seen_filter is None:

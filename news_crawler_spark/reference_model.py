@@ -26,10 +26,9 @@ import hashlib
 import re
 from dataclasses import dataclass, field
 
+from . import config
 from .config import (
     BATCH_TS,
-    EXCLUDE_KEYWORDS,
-    INCLUDE_KEYWORDS,
     SiteProfile,
     origin_of,
     profile_of,
@@ -77,42 +76,226 @@ def canonicalize(href: str, site: str, strip_query: bool) -> str | None:
 
 
 # ------------------------------------------------------------- parsing
+#
+# Independent per-site extraction over the raw HTML: where the engine
+# builds a DOM and runs CSS selectors (operators/htmlsel.py +
+# selectors.py), the model splits pages on the item-container markup and
+# regexes the fields out — different machinery, same semantics, so the
+# parity tests compare two implementations of P1-P3, not one with
+# itself. Patterns are locked to the synthetic templates (synth.py),
+# which in turn mirror the reference sites' DOM.
 
-ITEM_RE = re.compile(
-    r'<item pos="(\d+)" href="([^"]*)" title="([^"]*)" lead="([^"]*)"'
-    r' time="([^"]*)" img="([^"]*)"/>'
-)
-ARTICLE_RE = re.compile(
-    r'<article title="([^"]*)" time="([^"]*)" summary="([^"]*)" img="([^"]*)"/>'
-)
+import html as _htmlmod
+from urllib.parse import unquote as _unquote
+
+_WSRUN = re.compile(r"[ \t\r\f\v]+")
+_NLTRIM = re.compile(r"[ \t]*\n[ \t]*")
 
 
-def parse_listing(content: bytes, charset: str) -> list[dict]:
-    text = content.decode(charset)
+def _norm(s: str) -> str:
+    return _NLTRIM.sub("\n", _WSRUN.sub(" ", s)).strip()
+
+
+def _clean(s: str | None) -> str:
+    return _norm(_htmlmod.unescape(s)) if s is not None else ""
+
+
+def _first(pat: str, text: str, g: int = 1) -> str | None:
+    m = re.search(pat, text, re.S)
+    return m.group(g) if m else None
+
+
+def _fld(pat: str, piece: str) -> str:
+    return _clean(_first(pat, piece))
+
+
+def _listing_pieces(text: str, marker: str) -> list[str]:
+    """Item blocks: everything after each container-open marker up to the
+    next one. Decoy header markup lands in the discarded prefix."""
+    return text.split(marker)[1:]
+
+
+def _extract_daum(url: str, text: str) -> list[dict]:
+    if "/breaking/" in url:
+        pieces = _listing_pieces(text, '<div class="item_newsheadline2">')
+        timepat = r'<span class="txt_info">([^<]*)</span>'
+    else:
+        pieces = _listing_pieces(text, '<li class="item_news2">')
+        timepat = r'<span class="info_time">([^<]*)</span>'
     out = []
-    for m in ITEM_RE.finditer(text):
-        out.append(
-            {
-                "dom_pos": int(m.group(1)),
-                "href": m.group(2),
-                "title": m.group(3),
-                "lead": m.group(4),
-                "time_str": m.group(5),
-                "img": m.group(6),
-            }
-        )
+    for p in pieces:
+        m = re.search(r'<a class="link_txt" href="([^"]*)" data-title="([^"]*)">([^<]*)</a>', p)
+        if not m:
+            continue
+        # inline text, else urldecoded data-title (Daum_crawler.py:95-100)
+        title = _clean(m.group(3)) or _unquote(m.group(2))
+        out.append({
+            "href": _htmlmod.unescape(m.group(1)), "title": title, "lead": "",
+            "time_str": _fld(timepat, p),
+            "img": _fld(r'<img class="thumb_g" src="([^"]*)">', p),
+        })
     return out
 
 
-def parse_article(content: bytes, charset: str) -> dict:
-    m = ARTICLE_RE.search(content.decode(charset))
-    if not m:
-        return {}
+def _extract_google(url: str, text: str) -> list[dict]:
+    out = []
+    if '<div class="NiLAwe">' in text:
+        for p in _listing_pieces(text, '<div class="NiLAwe">'):
+            m = re.search(r'<a href="([^"]*)"><h4>([^<]*)</h4></a>', p)
+            if not m:
+                continue
+            out.append({
+                "href": _htmlmod.unescape(m.group(1)), "title": _clean(m.group(2)),
+                "lead": "", "time_str": _fld(r'<time datetime="([^"]*)"', p),
+                "img": _fld(r'<img src="([^"]*)">', p),
+            })
+        return out
+    for p in _listing_pieces(text, "<article>"):
+        href = _first(r'<a href="([^"]*)">', p)
+        if href is None:
+            continue
+        title = (
+            _first(r"<h3><a[^>]*>([^<]*)</a></h3>", p)
+            or _first(r"<h4><a[^>]*>([^<]*)</a></h4>", p)
+            or _first(r"<a[^>]*>([^<]*)</a>", p)
+        )
+        out.append({
+            "href": _htmlmod.unescape(href), "title": _clean(title), "lead": "",
+            "time_str": _fld(r'<time datetime="([^"]*)"', p),
+            "img": _fld(r'<img src="([^"]*)">', p),
+        })
+    return out
+
+
+def _extract_fntoday(url: str, text: str) -> list[dict]:
+    out = []
+    for p in _listing_pieces(text, '<div class="list-block">'):
+        m = re.search(r'<div class="list-titles"><a href="([^"]*)">(.*?)</a></div>', p, re.S)
+        if not m:
+            continue
+        title = _clean(re.sub(r"</?strong>", "", m.group(2)))
+        out.append({
+            "href": _htmlmod.unescape(m.group(1)), "title": title, "lead": "",
+            "time_str": _fld(r'<div class="list-dated">([^<]*)</div>', p),
+            "img": _fld(r'<img src="([^"]*)">', p),
+        })
+    return out
+
+
+def _extract_gukje(url: str, text: str) -> list[dict]:
+    out = []
+    for p in _listing_pieces(text, '<li class="gk_item">'):
+        m = re.search(r'<h4 class="titles"><a href="([^"]*)">([^<]*)</a></h4>', p)
+        if not m:
+            continue
+        ems = re.findall(r"<em>([^<]*)</em>", p)
+        out.append({
+            "href": _htmlmod.unescape(m.group(1)), "title": _clean(m.group(2)), "lead": "",
+            # third em of the byline (Gukje_Crawler.py:60-79)
+            "time_str": _clean(ems[2]) if len(ems) >= 3 else "",
+            "img": _fld(r'<img src="([^"]*)">', p),
+        })
+    return out
+
+
+_SIMPLE_LISTING = {
+    "naver": ('<li class="sa_item">',
+              r'<a class="sa_text_title" href="([^"]*)">([^<]*)</a>',
+              r'<span class="sa_time">([^<]*)</span>', None),
+    "fnnews": ('<div class="wrap_txt">',
+               r'<strong class="tit_thumb"><a href="([^"]*)">([^<]*)</a></strong>',
+               r'<span class="caption">([^<]*)</span>', None),
+    "nate": ('<div class="mlt01">',
+             r'<a class="lt1" href="([^"]*)"><h2 class="tit">([^<]*)</h2></a>',
+             r'<span class="medium"><em>([^<]*)</em></span>', None),
+    "skydaily": ('<div class="picarticle">',
+                 r'<a href="([^"]*)">([^<]*)</a>',
+                 r'<span class="date">([^<]*)</span>', None),
+    "voa": ('<div class="media-block">',
+            r'<a href="([^"]*)"><h4 class="media-block__title">([^<]*)</h4></a>',
+            r'<span class="date">([^<]*)</span>', None),
+    "yna": ('<li class="yna_item">',
+            r'<span class="title01"><a class="tit-news" href="([^"]*)">([^<]*)</a></span>',
+            r'<span class="txt-time">([^<]*)</span>',
+            r'<p class="lead">([^<]*)</p>'),
+}
+
+
+def _extract_simple(site: str, text: str) -> list[dict]:
+    marker, atpat, timepat, leadpat = _SIMPLE_LISTING[site]
+    out = []
+    for p in _listing_pieces(text, marker):
+        m = re.search(atpat, p)
+        if not m:
+            continue
+        out.append({
+            "href": _htmlmod.unescape(m.group(1)), "title": _clean(m.group(2)),
+            "lead": _fld(leadpat, p) if leadpat else "",
+            "time_str": _fld(timepat, p),
+            "img": _fld(r'<img src="([^"]*)">', p),
+        })
+    return out
+
+
+def parse_listing(content: bytes, charset: str, site: str, url: str) -> list[dict]:
+    from .config import base_site
+
+    text = content.decode(charset)
+    base = base_site(site)
+    if base == "daum":
+        items = _extract_daum(url, text)
+    elif base == "google":
+        items = _extract_google(url, text)
+    elif base == "fntoday":
+        items = _extract_fntoday(url, text)
+    elif base == "gukje":
+        items = _extract_gukje(url, text)
+    else:
+        items = _extract_simple(base, text)
+    for pos, it in enumerate(items):
+        it["dom_pos"] = pos
+    return items
+
+
+_ARTICLE_FIELDS = {
+    "daum": (r'<h3 class="tit_view">([^<]*)</h3>', r'<span class="num_date">([^<]*)</span>',
+             r'<strong class="summary_view">([^<]*)</strong>', None),
+    "naver": (r'<h2 class="media_end_head_headline">([^<]*)</h2>',
+              r'data-date-time="([^"]*)"',
+              r'<div class="media_end_summary">(.*?)</div>',
+              r'<img id="img1" data-src="([^"]*)">'),
+    "skydaily": (r'<h1 class="title">([^<]*)</h1>', r'<span class="data01">([^<]*)</span>',
+                 r'<div class="article_txt">([^<]*)</div>', None),
+    "voa": (r'<h1 class="pg-title">([^<]*)</h1>', r'<span class="date">([^<]*)</span>',
+            r'<p class="perex">([^<]*)</p>', r'<div class="img"><img src="([^"]*)">'),
+}
+_ARTICLE_GENERIC = (r'<h1 class="art-title">([^<]*)</h1>', r'<span class="art-time">([^<]*)</span>',
+                    r'<div class="art-summary">([^<]*)</div>', None)
+
+
+def parse_article(content: bytes, charset: str, site: str) -> dict:
+    from .config import base_site
+
+    text = content.decode(charset)
+    base = base_site(site)
+    tpat, tmpat, spat, ipat = _ARTICLE_FIELDS.get(base, _ARTICLE_GENERIC)
+    summary_raw = _first(spat, text)
+    if summary_raw is not None:
+        summary = _clean(re.sub(r"<br\s*/?>", "\n", summary_raw))
+    else:
+        summary = ""
+    if ipat is None:
+        # og:image → thumbnail fallback (daum) / plain img (others)
+        img = (_first(r'<meta property="og:image" content="([^"]*)">', text)
+               or _first(r'<img alt="thumbnail" src="([^"]*)">', text)
+               or _first(r'<img src="([^"]*)">', text))
+    else:
+        img = _first(ipat, text)
     return {
-        "title": m.group(1),
-        "time_str": m.group(2),
-        "summary": m.group(3),
-        "img": m.group(4),
+        "title": _fld(tpat, text),
+        "time_str": _fld(tmpat, text),
+        "summary": summary,
+        "img": _htmlmod.unescape(img) if img else "",
     }
 
 
@@ -124,7 +307,7 @@ _WORD_RE = re.compile(r"\b\w+\b")
 def relevance(text: str, prof: SiteProfile) -> bool:
     """R1-R4 (SURVEY §2.5)."""
     low = text.lower()
-    inc, exc = INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS
+    inc, exc = config.INCLUDE_KEYWORDS, config.EXCLUDE_KEYWORDS
     need = min(prof.min_include, len(inc)) if inc else 0
     if prof.relevance_variant == "substring":
         n = sum(1 for k in inc if k in low)
@@ -227,9 +410,10 @@ def run_reference_model(world: dict, batch_ts_str: str = BATCH_TS) -> GoldenRun:
             if prof.max_pages and page > prof.max_pages:
                 active[si] = False
                 continue
-            listing = corpus.get(f"{seed['url']}?page={page}")
+            listing_url = f"{seed['url']}?page={page}"
+            listing = corpus.get(listing_url)
             items = (
-                parse_listing(listing["content"], listing["charset"])
+                parse_listing(listing["content"], listing["charset"], seed["site"], listing_url)
                 if listing and listing["http_status"] == 200
                 else []
             )
@@ -259,7 +443,7 @@ def _process_item(it, seed, prof: SiteProfile, corpus, batch_ts, g: GoldenRun, f
         page_row = corpus.get(url_c)
         if not page_row or page_row["http_status"] != 200:
             return False  # C5 failure → drop
-        detail = parse_article(page_row["content"], page_row["charset"])
+        detail = parse_article(page_row["content"], page_row["charset"], site)
 
     match_text = it["title"]
     if prof.match_input == "title_lead":
@@ -273,7 +457,7 @@ def _process_item(it, seed, prof: SiteProfile, corpus, batch_ts, g: GoldenRun, f
         page_row = corpus.get(url_c)
         if not page_row or page_row["http_status"] != 200:
             return False
-        detail = parse_article(page_row["content"], page_row["charset"])
+        detail = parse_article(page_row["content"], page_row["charset"], site)
 
     time_str = detail.get("time_str") if prof.time_source == "article" else it["time_str"]
     ts = parse_time(time_str or "", prof, batch_ts)

@@ -20,12 +20,14 @@ from __future__ import annotations
 
 import hashlib
 import math
+from html import escape as _esc
+from urllib.parse import quote as _urlquote
 
+from . import config
 from .config import (
-    EXCLUDE_KEYWORDS,
-    INCLUDE_KEYWORDS,
     PROFILES,
     SiteProfile,
+    base_site,
     host_of,
     origin_of,
     profile_of,
@@ -35,11 +37,19 @@ from .config import (
 WORDS = [
     "seoul", "global", "report", "update", "analysis", "today", "briefing",
     "policy", "outlook", "review", "notes", "daily", "focus", "watch",
+    # Korean vocabulary — the reference's actual data is Korean news; these
+    # exercise Unicode tokenization (ADVICE: Java-regex \W is ASCII) and
+    # EUC-KR encoding (SkyDaily_Crawler.py:70,146)
+    "시장동향", "분석기사", "오늘의소식", "정책브리핑", "산업현장",
+    # entity-escaping coverage: '&' must survive html.escape → unescape
+    "r&d",
 ]
 # Trap words: substring-match an include/exclude keyword without being a
 # whole word — distinguishes R1 (substring) from R2 (word-set) semantics.
-TRAP_INCLUDE = ["aikido", "trademarks", "exported"]   # contain ai / trade / export
-TRAP_EXCLUDE = ["advertising"]                        # contains advert
+# Korean traps: '경제학자' contains keyword '경제', '광고주' contains '광고'
+# — only substring-variant sites see them (word-set tokenizes them whole).
+TRAP_INCLUDE = ["aikido", "trademarks", "exported", "경제학자", "반도체주"]
+TRAP_EXCLUDE = ["advertising", "광고주"]
 
 ITEMS_PER_PAGE = 10
 DISALLOW_PREFIX = "/ad/"
@@ -114,6 +124,11 @@ def raw_href(site: str, art_id: int, occ: int) -> str:
 
 
 def listing_url(site: str, seed_local: int, page: int) -> str:
+    """Daum listing URLs carry the category in the path — the engine picks
+    the item selector by category substring, Daum_crawler.py:141-146."""
+    if base_site(site) == "daum":
+        cat = "breaking" if seed_local % 2 == 0 else "ranking"
+        return f"{origin_of(site)}/{cat}/{seed_local}?page={page}"
     return f"{origin_of(site)}/list/{seed_local}?page={page}"
 
 
@@ -143,10 +158,10 @@ def make_title(site: str, art_id: int) -> str:
     h = H("title", site, art_id)
     words = _pick(WORDS, h, 3)
     n_inc = h % 4  # 0..3 include keywords
-    kws = [INCLUDE_KEYWORDS[(h // 7 + i * 3) % len(INCLUDE_KEYWORDS)] for i in range(n_inc)]
+    kws = [config.INCLUDE_KEYWORDS[(h // 7 + i * 3) % len(config.INCLUDE_KEYWORDS)] for i in range(n_inc)]
     toks = [words[0], *kws[:2], words[1], *kws[2:], words[2]]
     if h % 5 == 0:
-        toks.insert(1, EXCLUDE_KEYWORDS[(h // 11) % len(EXCLUDE_KEYWORDS)])
+        toks.insert(1, config.EXCLUDE_KEYWORDS[(h // 11) % len(config.EXCLUDE_KEYWORDS)])
     if h % 6 == 0:
         toks.append(TRAP_INCLUDE[(h // 13) % len(TRAP_INCLUDE)])
     if h % 9 == 0:
@@ -158,7 +173,7 @@ def make_lead(site: str, art_id: int) -> str:
     h = H("lead", site, art_id)
     toks = _pick(WORDS, h, 4)
     if h % 3 == 0:
-        toks.insert(2, INCLUDE_KEYWORDS[(h // 5) % len(INCLUDE_KEYWORDS)])
+        toks.insert(2, config.INCLUDE_KEYWORDS[(h // 5) % len(config.INCLUDE_KEYWORDS)])
     return " ".join(toks)
 
 
@@ -167,9 +182,9 @@ def make_summary(site: str, art_id: int) -> str:
     toks = _pick(WORDS, h, 6)
     n_inc = h % 3
     for i in range(n_inc):
-        toks.insert(1 + i, INCLUDE_KEYWORDS[(h // 7 + i) % len(INCLUDE_KEYWORDS)])
+        toks.insert(1 + i, config.INCLUDE_KEYWORDS[(h // 7 + i) % len(config.INCLUDE_KEYWORDS)])
     if h % 7 == 0:
-        toks.append(EXCLUDE_KEYWORDS[(h // 9) % len(EXCLUDE_KEYWORDS)])
+        toks.append(config.EXCLUDE_KEYWORDS[(h // 9) % len(config.EXCLUDE_KEYWORDS)])
     return " ".join(toks)
 
 
@@ -255,15 +270,237 @@ def listing_items(site: str, seed_local: int, page: int, n_art: int) -> list[dic
     return items
 
 
-def listing_content(site: str, seed_local: int, page: int, n_art: int) -> str:
-    rows = [f'<page site="{site}" seed="{seed_local}" page="{page}">']
-    for it in listing_items(site, seed_local, page, n_art):
-        rows.append(
-            f'<item pos="{it["dom_pos"]}" href="{it["href"]}" title="{it["title"]}"'
-            f' lead="{it["lead"]}" time="{it["time_str"]}" img="{it["img"]}"/>'
+# ------------------------------------------------------- HTML generation
+#
+# Real per-site markup mirroring the reference sites' DOM structure (the
+# selector programs in selectors.py are written against the *reference's*
+# selectors, e.g. Naver_Crawler.py:109, Gukje_Crawler.py:103; this
+# generator produces messy-but-plausible pages those selectors extract
+# from). Deliberate hazards: entity-escaped text (&amp;), hash-placed
+# whitespace padding inside text nodes, optional fields omitted, decoy
+# header blocks sharing tags/classes with the real containers, Daum's
+# urlencoded data-title fallback, Google's h3/h4/div-fallback layouts,
+# and EUC-KR byte encoding for skydaily pages.
+
+def _pad(h: int, s: str) -> str:
+    """Hash-deterministic whitespace padding around text content."""
+    pre = ("", "\n  ", " ")[h % 3]
+    post = ("", "\n ", "  ")[(h // 3) % 3]
+    return f"{pre}{s}{post}"
+
+
+def _img_tag(it: dict, fmt: str) -> str:
+    return fmt.format(src=_esc(it["img"], quote=True)) if it["img"] else ""
+
+
+_IMG = '<img src="{src}">'
+
+
+def _e(s: str) -> str:
+    return _esc(s, quote=True)
+
+
+def _listing_daum(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    out = []
+    breaking = seed_local % 2 == 0
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        # data-title is always present (urlencoded); inline anchor text is
+        # sometimes empty → engine must fall back (Daum_crawler.py:95-100)
+        inline = "" if h % 4 == 0 else _pad(h, _e(it["title"]))
+        a = (f'<a class="link_txt" href="{_e(it["href"])}"'
+             f' data-title="{_urlquote(it["title"], safe="")}">{inline}</a>')
+        img = _img_tag(it, '<img class="thumb_g" src="{src}">')
+        if breaking:
+            out.append(f'<div class="item_newsheadline2">\n{a}\n'
+                       f'<span class="txt_info">{_pad(h >> 2, _e(it["time_str"]))}</span>\n'
+                       f'{img}</div>')
+        else:
+            out.append(f'<li class="item_news2">{a}'
+                       f'<span class="info_time">{_e(it["time_str"])}</span>{img}</li>')
+    if breaking:
+        return ('<div class="box_comp box_news_headline2">\n'
+                + "\n".join(out) + "\n</div>")
+    return '<ul class="list_news2">\n' + "\n".join(out) + "\n</ul>"
+
+
+def _listing_naver(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    lis = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        lis.append(
+            f'<li class="sa_item">\n'
+            f'<a class="sa_text_title" href="{_e(it["href"])}">{_pad(h, _e(it["title"]))}</a>\n'
+            f'<span class="sa_time">{_e(it["time_str"])}</span>\n'
+            f'{_img_tag(it, _IMG)}</li>'
         )
-    rows.append("</page>")
-    return "\n".join(rows)
+        # Naver_Crawler.py:109: div.section_latest_article ul li
+    return ('<div class="section_latest_article _PERSIST">\n<ul>\n'
+            + "\n".join(lis) + "\n</ul>\n</div>")
+
+
+def _listing_google(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    # page-level fallback layout (Google_Crawler.py:163-166): some pages
+    # render div.NiLAwe cards instead of <article> elements
+    fallback = H("glayout", site, seed_local, page) % 5 == 0
+    out = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        t = _pad(h, _e(it["title"]))
+        tm = f'<time datetime="{_e(it["time_str"])}">{(h % 9)} hours ago</time>'
+        img = _img_tag(it, '<figure><img src="{src}"></figure>')
+        if fallback:
+            out.append(f'<div class="NiLAwe"><a href="{_e(it["href"])}"><h4>{t}</h4></a>'
+                       f'{tm}{img}</div>')
+        elif h % 3 == 0:  # h4 variant (Google_Crawler.py:197-201)
+            out.append(f'<article>\n<h4><a href="{_e(it["href"])}">{t}</a></h4>\n{tm}\n'
+                       f'{img}</article>')
+        elif h % 7 == 0:  # bare-anchor variant → third fallback step
+            out.append(f'<article>\n<a href="{_e(it["href"])}">{t}</a>\n{tm}\n{img}</article>')
+        else:
+            out.append(f'<article>\n<h3><a href="{_e(it["href"])}">{t}</a></h3>\n{tm}\n'
+                       f'{img}</article>')
+    return "<main>\n" + "\n".join(out) + "\n</main>"
+
+
+def _listing_fntoday(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    out = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        inner = (f"<strong>{_pad(h, _e(it['title']))}</strong>"
+                 if h % 4 != 0 else _pad(h, _e(it["title"])))
+        out.append(
+            f'<div class="list-block">\n'
+            f'<div class="list-titles"><a href="{_e(it["href"])}">{inner}</a></div>\n'
+            f'<div class="list-dated">{_e(it["time_str"])}</div>\n'
+            f'{_img_tag(it, _IMG)}</div>'
+        )
+    return "\n".join(out)
+
+
+def _listing_fnnews(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    out = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        out.append(
+            f'<div class="wrap_txt">\n'
+            f'<strong class="tit_thumb"><a href="{_e(it["href"])}">'
+            f'{_pad(h, _e(it["title"]))}</a></strong>\n'
+            f'<span class="caption">{_e(it["time_str"])}</span>\n'
+            f'{_img_tag(it, _IMG)}</div>'
+        )
+    return "\n".join(out)
+
+
+def _listing_gukje(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    lis = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        writer = WORDS[h % len(WORDS)]
+        lis.append(
+            f'<li class="gk_item">\n'
+            f'<h4 class="titles"><a href="{_e(it["href"])}">{_pad(h, _e(it["title"]))}</a></h4>\n'
+            # timestamp is the THIRD em (span.byline em:nth-of-type(3),
+            # Gukje_Crawler.py:60-79)
+            f'<span class="byline"><em>{_e(writer)}</em><em>국제신문</em>'
+            f'<em>{_e(it["time_str"])}</em></span>\n'
+            f'{_img_tag(it, _IMG)}</li>'
+        )
+    return '<ul class="type2">\n' + "\n".join(lis) + "\n</ul>"
+
+
+def _listing_nate(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    out = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        out.append(
+            f'<div class="mlt01">\n'
+            f'<a class="lt1" href="{_e(it["href"])}"><h2 class="tit">'
+            f'{_pad(h, _e(it["title"]))}</h2></a>\n'
+            f'<span class="medium"><em>{_e(it["time_str"])}</em></span>\n'
+            f'{_img_tag(it, _IMG)}</div>'
+        )
+    return "\n".join(out)
+
+
+def _listing_skydaily(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    out = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        out.append(
+            f'<div class="picarticle">\n'
+            f'<a href="{_e(it["href"])}">{_pad(h, _e(it["title"]))}</a>\n'
+            f'<span class="date">{_e(it["time_str"])}</span>\n'
+            f'{_img_tag(it, _IMG)}</div>'
+        )
+    return "\n".join(out)
+
+
+def _listing_voa(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    out = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        out.append(
+            f'<div class="media-block">\n'
+            f'<a href="{_e(it["href"])}"><h4 class="media-block__title">'
+            f'{_pad(h, _e(it["title"]))}</h4></a>\n'
+            f'<span class="date">{_e(it["time_str"])}</span>\n'
+            f'<div class="thumb">{_img_tag(it, _IMG)}</div></div>'
+        )
+    return "\n".join(out)
+
+
+def _listing_yna(site: str, seed_local: int, page: int, items: list[dict]) -> str:
+    lis = []
+    for it in items:
+        h = H("lay", site, seed_local, page, it["dom_pos"])
+        lis.append(
+            f'<li class="yna_item">\n'
+            f'<span class="title01"><a class="tit-news" href="{_e(it["href"])}">'
+            f'{_pad(h, _e(it["title"]))}</a></span>\n'
+            f'<p class="lead">{_pad(h >> 2, _e(it["lead"]))}</p>\n'
+            f'<span class="txt-time">{_e(it["time_str"])}</span>\n'
+            f'{_img_tag(it, _IMG)}</li>'
+        )
+    return '<ul class="list01">\n' + "\n".join(lis) + "\n</ul>"
+
+
+_LISTING_BUILDERS = {
+    "daum": _listing_daum,
+    "naver": _listing_naver,
+    "google": _listing_google,
+    "fntoday": _listing_fntoday,
+    "fnnews": _listing_fnnews,
+    "gukje": _listing_gukje,
+    "nate": _listing_nate,
+    "skydaily": _listing_skydaily,
+    "voa": _listing_voa,
+    "yna": _listing_yna,
+}
+
+# Decoy header region: shares tags and class *names* with real item
+# containers but never the full container chain — a parser that matches
+# on tag alone (or class alone) extracts garbage and fails parity.
+_DECOY = (
+    '<div class="gnb"><a href="/">home</a> <a href="/login">login</a></div>\n'
+    '<div class="section_ranking"><div><a class="sa_text_title" href="/rank/1">'
+    "인기 기사</a></div></div>\n"
+    '<div class="box_comp"><div class="item_news_decoy">'
+    '<a class="link_txt" href="/notice/1">notice</a></div></div>\n'
+    "<!-- layout: generated -->"
+)
+
+
+def listing_content(site: str, seed_local: int, page: int, n_art: int) -> str:
+    prof = profile_of(site)
+    items = listing_items(site, seed_local, page, n_art)
+    body = _LISTING_BUILDERS[base_site(site)](site, seed_local, page, items)
+    return (
+        f'<html><head><meta charset="{prof.charset}">'
+        f"<title>{_e(site)} · p{page}</title></head>\n<body>\n{_DECOY}\n"
+        f"{body}\n"
+        f'<div class="footer">(c) {_e(site)}</div>\n</body></html>'
+    )
 
 
 def article_status(site: str, art_id: int) -> int:
@@ -275,13 +512,69 @@ def article_status(site: str, art_id: int) -> int:
     return 200
 
 
+def _split_summary(summary: str, h: int) -> tuple[str, str | None]:
+    """Optionally split the summary for <br>-separated rendering
+    (Naver_Crawler.py:90-93: <br> → newline)."""
+    toks = summary.split(" ")
+    if h % 2 == 0 and len(toks) >= 4:
+        mid = len(toks) // 2
+        return " ".join(toks[:mid]), " ".join(toks[mid:])
+    return summary, None
+
+
 def article_content(site: str, art_id: int) -> str:
     prof = profile_of(site)
+    base = base_site(site)
+    h = H("alay", site, art_id)
+    title = _e(make_title(site, art_id))
+    tstr = _e(make_time_str(prof, art_id))
+    summary = make_summary(site, art_id)
+    img = img_raw(site, art_id) or ""
+    head = f'<html><head><meta charset="{prof.charset}"><title>{title}</title></head>\n<body>\n'
+    foot = '\n<div class="footer">links</div>\n</body></html>'
+    if base == "daum":
+        # og:image meta vs thumbnail-img fallback (Daum_crawler.py:61-68)
+        if not img:
+            imgel = ""
+        elif h % 3 == 0:
+            imgel = f'<img alt="thumbnail" src="{_e(img)}">'
+        else:
+            imgel = f'<meta property="og:image" content="{_e(img)}">'
+        return (
+            f'{head}<h3 class="tit_view">{_pad(h, title)}</h3>\n'
+            f'<span class="num_date">{tstr}</span>\n'
+            f'<strong class="summary_view">{_pad(h >> 2, _e(summary))}</strong>\n'
+            f"{imgel}{foot}"
+        )
+    if base == "naver":
+        s1, s2 = _split_summary(summary, h)
+        sm = _e(s1) + (f"<br>{_e(s2)}" if s2 is not None else "")
+        imgel = f'<img id="img1" data-src="{_e(img)}">' if img else ""
+        return (
+            f'{head}<h2 class="media_end_head_headline">{_pad(h, title)}</h2>\n'
+            f'<span class="media_end_head_info_datestamp_time _ARTICLE_DATE_TIME"'
+            f' data-date-time="{tstr}">기사입력</span>\n'
+            f'<div class="media_end_summary">{sm}</div>\n{imgel}{foot}'
+        )
+    if base == "skydaily":
+        imgel = f'<img src="{_e(img)}">' if img else ""
+        return (
+            f'{head}<h1 class="title">{_pad(h, title)}</h1>\n'
+            f'<span class="data01">{tstr}</span>\n'
+            f'<div class="article_txt">{_pad(h >> 2, _e(summary))}</div>\n{imgel}{foot}'
+        )
+    if base == "voa":
+        imgel = f'<div class="img"><img src="{_e(img)}"></div>' if img else ""
+        return (
+            f'{head}<h1 class="pg-title">{_pad(h, title)}</h1>\n'
+            f'<span class="date">{tstr}</span>\n'
+            f'<p class="perex">{_pad(h >> 2, _e(summary))}</p>\n{imgel}{foot}'
+        )
+    imgel = f'<img src="{_e(img)}">' if img else ""
     return (
-        f'<article title="{make_title(site, art_id)}"'
-        f' time="{make_time_str(prof, art_id)}"'
-        f' summary="{make_summary(site, art_id)}"'
-        f' img="{img_raw(site, art_id) or ""}"/>'
+        f'{head}<h1 class="art-title">{_pad(h, title)}</h1>\n'
+        f'<span class="art-time">{tstr}</span>\n'
+        f'<div class="art-summary">{_pad(h >> 2, _e(summary))}</div>\n{imgel}{foot}'
     )
 
 
@@ -346,8 +639,8 @@ def build_world(scale: float = 1.0, site_mult: int = 1) -> dict[str, list[dict]]
         for site in virtual_sites(site_mult)
     ]
     keywords = [
-        {"kind": "include", "category": "core", "keyword": k} for k in INCLUDE_KEYWORDS
-    ] + [{"kind": "exclude", "category": "noise", "keyword": k} for k in EXCLUDE_KEYWORDS]
+        {"kind": "include", "category": "core", "keyword": k} for k in config.INCLUDE_KEYWORDS
+    ] + [{"kind": "exclude", "category": "noise", "keyword": k} for k in config.EXCLUDE_KEYWORDS]
     return {"corpus": corpus, "seeds": seeds, "robots": robots, "keywords": keywords}
 
 
@@ -416,3 +709,67 @@ def build_corpus_spark(spark, scale: float, site_mult: int = 1):
     from .schemas import CORPUS
 
     return tdf.mapInPandas(gen, schema=CORPUS)
+
+
+# ----------------------------------------------- keyword config (486/259)
+
+# News_keyword.json shape: 7 include categories / 10 exclude categories
+# of Korean terms (flattened by every crawler's load_keywords(),
+# Daum_crawler.py:17-23). The generated config is synthetic — same
+# shape and scale, deterministic, no reference data copied.
+INCLUDE_CATEGORIES = ["거시경제", "산업", "기술", "정책", "무역", "금융", "에너지"]
+EXCLUDE_CATEGORIES = [
+    "연예", "스포츠", "광고", "운세", "날씨", "사건사고", "게임", "여행", "쇼핑", "커뮤니티",
+]
+_KW_SYLLABLES = [
+    "가", "경", "공", "국", "금", "기", "남", "대", "동", "무", "물", "미", "반",
+    "발", "보", "부", "산", "상", "생", "서", "선", "성", "세", "소", "수", "시",
+    "신", "안", "업", "역", "연", "영", "예", "외", "용", "원", "위", "유", "은",
+    "이", "인", "자", "장", "재", "전", "정", "제", "조", "주", "중", "지", "차",
+    "천", "체", "출", "치", "탄", "터", "통", "투", "판", "품", "한", "항", "해",
+    "혁", "협", "화", "환", "회",
+]
+_KW_EN = ["chip", "bond", "tariff", "fund", "grid", "rate", "index", "merger",
+          "equity", "battery"]
+
+
+def _kw_terms(kind: str, n: int) -> list[str]:
+    """n unique deterministic terms; mostly Korean 2-3-syllable compounds,
+    every 9th an English term (the real config mixes scripts)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while len(out) < n:
+        h = H("kwterm", kind, i)
+        if i % 9 == 8:
+            t = f"{_KW_EN[h % len(_KW_EN)]}{i}"
+        else:
+            nsyl = 2 + h % 2
+            t = "".join(
+                _KW_SYLLABLES[(h // (7 + 13 * j)) % len(_KW_SYLLABLES)]
+                for j in range(nsyl)
+            )
+        i += 1
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def make_keyword_config(n_include: int = 486, n_exclude: int = 259) -> dict:
+    """Deterministic News_keyword.json-shaped config at reference scale
+    (486 include / 259 exclude by default)."""
+    inc = _kw_terms("inc", n_include)
+    exc = _kw_terms("exc", n_exclude)
+    cfg = {"keywords": [], "exclude_keywords": []}
+    for ci, cat in enumerate(INCLUDE_CATEGORIES):
+        cfg["keywords"].append(
+            {"category": cat, "items": [t for i, t in enumerate(inc)
+                                        if i % len(INCLUDE_CATEGORIES) == ci]}
+        )
+    for ci, cat in enumerate(EXCLUDE_CATEGORIES):
+        cfg["exclude_keywords"].append(
+            {"category": cat, "items": [t for i, t in enumerate(exc)
+                                        if i % len(EXCLUDE_CATEGORIES) == ci]}
+        )
+    return cfg
