@@ -313,6 +313,19 @@ def d04_ngram_jaccard(spark, sf):
     )
 
 
+def d06_simhash_multiprobe(spark, sf):
+    """Multi-probe SimHash near-dup pairs: rotation-union 16-bit blocks
+    (4 byte-aligned cyclic windows), hamming ≤ 8 verified — the recall
+    fix for d05's single-block miss."""
+    from news_crawler_spark.operators.textdedup import simhash_near_pairs_multiprobe
+
+    d = _t(spark, sf, "documents")
+    return simhash_near_pairs_multiprobe(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        max_hamming=8, rotations=4,
+    )
+
+
 def e01_cosine_topk(spark, sf):
     """Brute-force cosine top-10 for probes vec_id<5 (exact ANN baseline)."""
     em = _t(spark, sf, "embeddings")
@@ -346,6 +359,22 @@ def e03_ivf_ann(spark, sf):
     assigned = ivf_assign(em, cent)
     probes = em.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"))
     return ivf_topk(assigned, probes, k=5).select("qid", "cluster", "vec_id", "cos", "rank")
+
+
+def e05_ivf_nprobe2(spark, sf):
+    """IVF ANN with nprobe=2: probes search their two nearest centroids'
+    clusters — the boundary-recall fix over e03's nprobe=1."""
+    from news_crawler_spark.operators.similarity import ivf_topk_nprobe
+
+    em = _t(spark, sf, "embeddings")
+    cent = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = ivf_assign(em, cent)
+    probes = em.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"))
+    return ivf_topk_nprobe(assigned, cent, probes, k=5, nprobe=2).select(
+        "qid", "cluster", "vec_id", "cos", "rank"
+    )
 
 
 def t01_lang_id(spark, sf):
@@ -513,10 +542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_simhash": d03_simhash,
         "d04_ngram_jaccard": d04_ngram_jaccard,
         "d05_simhash_pairs": d05_simhash_pairs,
+        "d06_simhash_multiprobe": d06_simhash_multiprobe,
         "e01_cosine_topk": e01_cosine_topk,
         "e02_cosine_near_dup": e02_cosine_near_dup,
         "e03_ivf_ann": e03_ivf_ann,
         "e04_sign_lsh_near_dup": e04_sign_lsh_near_dup,
+        "e05_ivf_nprobe2": e05_ivf_nprobe2,
         "p01_html_extract": p01_html_extract,
         "k01_keyword_flatten": k01_keyword_flatten,
         "t01_lang_id": t01_lang_id,
@@ -775,6 +806,28 @@ def oracle_sql() -> dict[str, str]:
                 ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id)
             WHERE hamming <= 8
         """,
+        "d06_simhash_multiprobe": f"""
+            WITH w AS (SELECT doc_id, {_UW} AS ws FROM documents),
+            h AS (SELECT doc_id,
+                         list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+                  FROM w),
+            s AS (SELECT doc_id,
+                         list_sum(list_transform(range(0, 32), b ->
+                           CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+                                THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+                  FROM h),
+            bnd AS (SELECT doc_id, simhash,
+                           t.r,
+                           (((simhash << (8 * t.r)) & 4294967295)
+                            | (simhash >> (32 - 8 * t.r))) >> 16 AS blk
+                    FROM s, unnest([0, 1, 2, 3]) AS t(r))
+            SELECT * FROM (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                     bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+              FROM bnd a JOIN bnd b
+                ON a.r = b.r AND a.blk = b.blk AND a.doc_id < b.doc_id)
+            WHERE hamming <= 8
+        """,
         "d04_ngram_jaccard": f"""
             WITH w AS (SELECT doc_id AS id, lang AS blk, {_UW} AS ws FROM documents)
             SELECT * FROM (
@@ -832,6 +885,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, cluster, vec_id, cos,
                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
             FROM scored QUALIFY rank <= 5
+        """,
+        "e05_ivf_nprobe2": f"""
+            WITH assign AS (
+              SELECT a.vec_id, a.embedding, b.vec_id AS cid, {_COS} AS ccos,
+                     row_number() OVER (PARTITION BY a.vec_id
+                                        ORDER BY {_COS} DESC, b.vec_id) AS r
+              FROM embeddings a JOIN embeddings b ON b.vec_id < 8),
+            clustered AS (SELECT vec_id, embedding, cid AS cluster FROM assign WHERE r = 1),
+            pc AS (
+              SELECT p.vec_id AS qid, p.embedding AS qe, c.vec_id AS cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       round(list_reduce(list_transform(range(1, 65), i ->
+                               p.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x,y) -> x+y)
+                         / (sqrt(list_reduce(list_transform(range(1, 65), i ->
+                               p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE), (x,y) -> x+y))
+                          * sqrt(list_reduce(list_transform(range(1, 65), i ->
+                               c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x,y) -> x+y))),
+                         6) DESC, c.vec_id) AS pr
+              FROM embeddings p JOIN embeddings c ON c.vec_id < 8
+              WHERE p.vec_id < 5),
+            probes AS (SELECT qid, qe, cid FROM pc WHERE pr <= 2),
+            scored AS (
+              SELECT p.qid, a.cluster, a.vec_id,
+                     round(list_reduce(list_transform(range(1, 65), i ->
+                             p.qe[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y)
+                       / (sqrt(list_reduce(list_transform(range(1, 65), i ->
+                             p.qe[i]::DOUBLE * p.qe[i]::DOUBLE), (x,y) -> x+y))
+                        * sqrt(list_reduce(list_transform(range(1, 65), i ->
+                             a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y))),
+                       6) AS cos
+              FROM clustered a JOIN probes p
+                ON a.cluster = p.cid AND a.vec_id <> p.qid)
+            SELECT qid, cluster, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+        "m01_image_meta": """
+            WITH d AS (SELECT doc_id, sha256(md5(text)) AS dg FROM documents)
+            SELECT doc_id::VARCHAR AS doc_id,
+                   'https://img.example.com/' || doc_id || '.jpg' AS media_ref,
+                   CASE (('0x' || substr(dg, 1, 2))::INT % 3)
+                        WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+                   64 + ('0x' || substr(dg, 3, 2))::INT % 192 AS width,
+                   64 + ('0x' || substr(dg, 5, 2))::INT % 192 AS height,
+                   16::BIGINT AS n_bytes,
+                   dg AS digest
+            FROM d
         """,
         "p01_html_extract": """
             SELECT 'https://ex.com/list/' || doc_id AS page_url,

@@ -165,6 +165,48 @@ def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
     return candidates.withColumn("maybe_seen", bloom_maybe_seen(F.col(url_col)))
 
 
+def merge_rows(prev_rows: list | None, delta_rows: list) -> list:
+    """Driver-side OR-merge of collected shard rows (dicts). The crawl
+    loop keeps the small-arm (≤BROADCAST_SHARD_BYTES) filter state on the
+    driver: per window it collects only the DELTA shards (one small job)
+    and merges here in numpy — no lazy DataFrame chain whose re-evaluation
+    would grow with window count."""
+    by = {int(r["shard_id"]): dict(r) for r in (prev_rows or [])}
+    for r in delta_rows:
+        sid = int(r["shard_id"])
+        if sid not in by:
+            by[sid] = dict(r)
+            continue
+        a = np.frombuffer(by[sid]["bits"], dtype=np.uint8)
+        b = np.frombuffer(r["bits"], dtype=np.uint8)
+        by[sid] = dict(by[sid], bits=(a | b).tobytes(),
+                       version=max(int(by[sid]["version"]), int(r["version"])))
+    return [by[k] for k in sorted(by)]
+
+
+def rows_df(spark, rows: list):
+    """Driver shard rows → DataFrame (for the snapshot commit)."""
+    return spark.createDataFrame(
+        [(int(r["shard_id"]), int(r["n_bits"]), int(r["n_hashes"]),
+          bytes(r["bits"]), int(r["version"])) for r in rows],
+        BLOOM_SCHEMA,
+    )
+
+
+def dedup_new_rows(candidates: DataFrame, seen: DataFrame, shard_rows: list,
+                   url_col: str = "url_canon",
+                   n_shards: int = DEFAULT_N_SHARDS) -> DataFrame:
+    """dedup_new for driver-held shard rows (the crawl's small-filter
+    path): no per-window first()/collect() jobs — the probe closure is
+    built directly from the rows."""
+    if not shard_rows:
+        return candidates.join(seen, on=url_col, how="left_anti")
+    flagged = probe_broadcast(candidates, shard_rows, n_shards, url_col)
+    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definite_new.unionByName(maybe.join(seen, on=url_col, how="left_anti"))
+
+
 def dedup_new(candidates: DataFrame, seen: DataFrame, shards: DataFrame | None,
               url_col: str = "url_canon", n_shards: int = DEFAULT_N_SHARDS) -> DataFrame:
     """D1: rows of candidates whose URL is not in seen.

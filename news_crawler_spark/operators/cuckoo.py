@@ -162,6 +162,68 @@ def insert_urls(shards: DataFrame, urls: DataFrame, n_shards: int = 32,
     )
 
 
+FPS_SCHEMA = "shard_id int, fps binary, h1s binary"
+
+
+def delta_fps(urls: DataFrame, n_shards: int = 32) -> DataFrame:
+    """Per-shard (fingerprint, h1) arrays for a seen-delta — the compact
+    payload the driver collects to update its held shard tables (one
+    small job per window; ~10 bytes/URL)."""
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard_id"].iloc[0])
+        fp, h1 = _fingerprints(pdf["url_canon"])
+        return pd.DataFrame([[sid, fp.tobytes(), h1.tobytes()]],
+                            columns=["shard_id", "fps", "h1s"])
+
+    routed = urls.withColumn("shard_id", shard_id_col(F.col("url_canon"), n_shards))
+    return routed.groupBy("shard_id").applyInPandas(make, schema=FPS_SCHEMA)
+
+
+def insert_rows(prev_rows: list | None, fps_rows: list, n_shards: int = 32,
+                buckets_per_shard: int = 1 << 14) -> list:
+    """Driver-side incremental insert into held shard rows (dicts) — the
+    cuckoo twin of bloom.merge_rows."""
+    by = {int(r["shard_id"]): dict(r) for r in (prev_rows or [])}
+    for r in fps_rows:
+        sid = int(r["shard_id"])
+        entry = by.get(sid)
+        if entry is None:
+            table = np.zeros((buckets_per_shard, SLOTS), dtype=np.uint16)
+            nb = np.uint64(buckets_per_shard)
+            version, n_items = 0, 0
+        else:
+            table = np.frombuffer(entry["table"], dtype=np.uint16).reshape(-1, SLOTS).copy()
+            nb = np.uint64(int(entry["n_buckets"]))
+            version, n_items = int(entry["version"]), int(entry["n_items"])
+        fp = np.frombuffer(r["fps"], dtype=np.uint64)
+        h1 = np.frombuffer(r["h1s"], dtype=np.uint64)
+        i1 = (h1 // np.uint64(n_shards)) % nb
+        n_items += _insert_into_table(table, fp, i1, nb, sid)
+        by[sid] = {"shard_id": sid, "n_buckets": int(nb), "table": table.tobytes(),
+                   "version": version + 1, "n_items": n_items}
+    return [by[k] for k in sorted(by)]
+
+
+def rows_df(spark, rows: list):
+    return spark.createDataFrame(
+        [(int(r["shard_id"]), int(r["n_buckets"]), bytes(r["table"]),
+          int(r["version"]), int(r["n_items"])) for r in rows],
+        CUCKOO_SCHEMA,
+    )
+
+
+def dedup_new_rows(candidates: DataFrame, seen: DataFrame, shard_rows: list,
+                   url_col: str = "url_canon", n_shards: int = 32) -> DataFrame:
+    """dedup_new for driver-held shard rows (no per-window collect job)."""
+    if not shard_rows:
+        return candidates.join(seen, on=url_col, how="left_anti")
+    flagged = probe_broadcast(candidates, shard_rows, n_shards, url_col)
+    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definite_new.unionByName(maybe.join(seen, on=url_col, how="left_anti"))
+
+
 def dedup_new(candidates: DataFrame, seen: DataFrame, shards: DataFrame | None,
               url_col: str = "url_canon", n_shards: int = 32) -> DataFrame:
     """D1 with the cuckoo arm: same routing contract as bloom.dedup_new —

@@ -22,21 +22,37 @@ from pyspark.sql import DataFrame
 
 IMAGE_META_SCHEMA = (
     "doc_id string, media_ref string, format string, width int, height int, "
-    "n_bytes long, sha1 string"
+    "n_bytes long, digest string"
 )
 FRAME_SAMPLE_SCHEMA = "doc_id string, media_ref string, frame_idx int, frame_sha1 string"
 
+try:  # real-decode slot: used when Pillow is installed AND bytes decode
+    from PIL import Image as _PILImage  # pragma: no cover
+except ImportError:
+    _PILImage = None
 
-def _decode_image_stub(payload: bytes) -> tuple[str, int, int]:
-    """Deterministic fake decode. A real kernel does::
 
-        from PIL import Image; im = Image.open(io.BytesIO(payload))
-        return im.format.lower(), im.width, im.height
+def _digest(payload: bytes) -> str:
+    """Payload digest over the canonical lowercase-hex form — chosen so
+    the DuckDB oracle reproduces it as ``sha256(md5(text))`` when the
+    payload is ``unhex(md5(text))`` (DuckDB's sha256 takes VARCHAR)."""
+    return hashlib.sha256(payload.hex().encode()).hexdigest()
 
-    (guarded by an import-try). The fake derives stable metadata from the
-    payload hash so tests pin the plumbing without the library.
-    """
-    h = hashlib.sha1(payload).digest()
+
+def _decode_image(payload: bytes) -> tuple[str, int, int]:
+    """Image decode: real Pillow when available and the bytes are a valid
+    image; otherwise the deterministic stub (stable metadata derived from
+    the payload digest) so the plumbing stays testable — and oracle-
+    checkable — without the library."""
+    if _PILImage is not None:
+        import io
+
+        try:
+            im = _PILImage.open(io.BytesIO(payload))
+            return (im.format or "unknown").lower(), im.width, im.height
+        except Exception:
+            pass  # not a decodable image → deterministic stub
+    h = bytes.fromhex(_digest(payload))
     fmt = ["jpeg", "png", "webp"][h[0] % 3]
     return fmt, 64 + h[1] % 192, 64 + h[2] % 192
 
@@ -55,11 +71,12 @@ def image_metadata(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                fmt, w, h = _decode_image_stub(b)
-                rows.append((doc_id, ref, fmt, w, h, len(b), hashlib.sha1(b).hexdigest()))
+                fmt, w, h = _decode_image(b)
+                rows.append((doc_id, ref, fmt, w, h, len(b), _digest(b)))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "media_ref", "format", "width", "height", "n_bytes", "sha1"],
+                columns=["doc_id", "media_ref", "format", "width", "height",
+                         "n_bytes", "digest"],
             )
 
     return media.select("doc_id", "media_ref", "payload").mapInPandas(

@@ -48,9 +48,12 @@ def parse_robots(pages: DataFrame, default_delay_s: float = 1.0) -> DataFrame:
     def step(acc, ln):
         low = F.lower(ln)
         is_ua = low.startswith("user-agent:")
-        ua_val = F.trim(F.substring_index(ln, ":", -1))
-        enter_star = is_ua & (ua_val == "*")
-        leave = is_ua & (ua_val != "*")
+        # directive value = everything after the FIRST colon (a Disallow
+        # path may itself contain colons — substring_index(…, -1) would
+        # return the wrong suffix and silently drop the rule)
+        val = F.trim(F.regexp_extract(ln, r"^[^:]*:(.*)$", 1))
+        enter_star = is_ua & (val == "*")
+        leave = is_ua & (val != "*")
         in_star = F.when(enter_star, F.lit(True)).when(leave, F.lit(False)).otherwise(
             acc["in_star"]
         )
@@ -58,12 +61,12 @@ def parse_robots(pages: DataFrame, default_delay_s: float = 1.0) -> DataFrame:
             in_star.alias("in_star"),
             F.when(
                 acc["in_star"] & low.startswith("crawl-delay:"),
-                F.trim(F.substring_index(ln, ":", -1)).cast("double"),
+                # try_cast: a malformed number stays NULL under ANSI sessions
+                val.try_cast("double"),
             ).otherwise(acc["delay"]).alias("delay"),
             F.when(
-                acc["in_star"] & low.startswith("disallow:")
-                & (F.trim(F.substring_index(ln, ":", -1)) != ""),
-                F.array_append(acc["prefixes"], F.trim(F.substring_index(ln, ":", -1))),
+                acc["in_star"] & low.startswith("disallow:") & (val != ""),
+                F.array_append(acc["prefixes"], val),
             ).otherwise(acc["prefixes"]).alias("prefixes"),
         )
 

@@ -41,10 +41,16 @@ def with_host_salt(df: DataFrame, n_salts: int, url_col: str = "url_canon") -> D
     return df.withColumn("host_salt", F.concat_ws("#", F.col("host"), salt))
 
 
-def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """C7: drop disallowed paths; attach crawl_delay_s (default 1.0)."""
+def robots_gate(frontier: DataFrame, robots: DataFrame,
+                broadcast_robots: bool = True) -> DataFrame:
+    """C7: drop disallowed paths; attach crawl_delay_s (default 1.0).
+
+    ``robots`` has one row per host — broadcastable at test scale, but at
+    10^7 hosts it must shuffle (round-1 VERDICT scale-killer #2); the
+    caller decides via ``broadcast_robots`` (see plans.crawl._dim_join)."""
     path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit(""))
-    joined = frontier.join(F.broadcast(robots), on="host", how="left")
+    rb = F.broadcast(robots) if broadcast_robots else robots
+    joined = frontier.join(rb, on="host", how="left")
     allowed = joined.filter(
         F.col("disallow_prefixes").isNull()
         | ~F.exists(
@@ -54,6 +60,24 @@ def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     return allowed.withColumn(
         "crawl_delay_s", F.coalesce(F.col("crawl_delay_s"), F.lit(1.0))
     ).drop("disallow_prefixes")
+
+
+# C2 UA rotation: the reference randomizes a fake_useragent per request
+# (Google_Crawler.py:57,152) — unreplayable. The engine derives the UA
+# deterministically from the URL hash: same rotation spread, bit-exact
+# replay. Logged per dispatch in frontier_log.
+UA_POOL = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/125.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 14_4) Chrome/124.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64) Firefox/126.0 Gecko/20100101",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) Edg/125.0 Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) Safari/604.1",
+]
+
+
+def ua_expr(url_canon: F.Column) -> F.Column:
+    idx = F.pmod(shard_id_col(url_canon, 1 << 16), F.lit(len(UA_POOL)))
+    return F.element_at(F.array(*[F.lit(u) for u in UA_POOL]), idx + 1)
 
 
 def jitter_expr(url_canon: F.Column, jitter_range_s: float) -> F.Column:
@@ -73,27 +97,46 @@ def schedule(
     window_s: float,
     n_salts: int = 8,
     jitter_range_s: float = 0.0,
+    broadcast_robots: bool = True,
 ) -> DataFrame:
     """Pick ≤ budget(host) rows per host by (priority, order_key); stamp
     politeness slots. Input: frontier rows with url_canon, host,
     priority, order_key. Output: dispatched rows + slot/next_fetch_after.
     """
-    gated = robots_gate(due, robots)
+    gated = robots_gate(due, robots, broadcast_robots)
+    return schedule_gated(gated, batch_ts, window_s, n_salts, jitter_range_s)
+
+
+def schedule_gated(
+    gated: DataFrame,
+    batch_ts: F.Column,
+    window_s: float,
+    n_salts: int = 8,
+    jitter_range_s: float = 0.0,
+) -> DataFrame:
+    """The budget/priority phase of ``schedule`` for callers that ran the
+    robots gate themselves (the crawl plan counts gated rows to assert no
+    silent budget shortfall — round-1 ADVICE)."""
     budget = F.greatest(
         F.lit(1), F.floor(F.lit(window_s) / F.col("crawl_delay_s"))
     ).cast("int")
-    salted = with_host_salt(gated, n_salts)
 
-    # Per-salt cap = full budget: a salt can never contribute more than
-    # budget rows, yet any distribution of the true top-budget rows across
-    # salts survives phase 1 — so phase 2 is exact. Phase 2's input is
-    # ≤ n_salts·budget rows per host (small); the unbounded hot-host sort
-    # happened distributed across the salt partitions.
-    w_salt = Window.partitionBy("host_salt").orderBy("priority", "order_key")
-    phase1 = (
-        salted.withColumn("salt_rank", F.row_number().over(w_salt))
-        .filter(F.col("salt_rank") <= budget)
-    )
+    if n_salts > 1:
+        salted = with_host_salt(gated, n_salts)
+        # Per-salt cap = full budget: a salt can never contribute more than
+        # budget rows, yet any distribution of the true top-budget rows across
+        # salts survives phase 1 — so phase 2 is exact. Phase 2's input is
+        # ≤ n_salts·budget rows per host (small); the unbounded hot-host sort
+        # happened distributed across the salt partitions.
+        w_salt = Window.partitionBy("host_salt").orderBy("priority", "order_key")
+        phase1 = (
+            salted.withColumn("salt_rank", F.row_number().over(w_salt))
+            .filter(F.col("salt_rank") <= budget)
+        )
+    else:
+        # n_salts=1: the salt phase is the identity — skip its shuffle
+        # (small frontiers / no hot-host skew)
+        phase1 = gated.withColumn("salt_rank", F.lit(1))
 
     w_host = Window.partitionBy("host").orderBy("priority", "order_key")
     phase2 = (

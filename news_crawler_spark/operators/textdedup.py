@@ -214,6 +214,60 @@ def simhash_near_pairs(
     )
 
 
+def _rotl32_expr(sig: Column, k: int) -> Column:
+    """32-bit left rotation of a signature stored in a long (k literal)."""
+    if k == 0:
+        return sig
+    return F.shiftleft(sig, k).bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(
+        F.shiftright(sig, 32 - k)
+    )
+
+
+def simhash_near_pairs_multiprobe(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    rotations: int = 4,
+) -> DataFrame:
+    """Multi-probe SimHash near-dup pairs (round-1 VERDICT: the single
+    upper-16-bit block misses any pair differing in an upper bit).
+
+    Candidates must agree on the upper 16 bits of the signature rotated
+    by r·8 bits for SOME r < ``rotations`` — with rotations=4 every
+    byte-aligned cyclic 16-bit window is probed, so a near-pair is missed
+    only when *all four* windows contain a differing bit. Join shape is
+    unchanged (equi-join per (rotation, block) bucket — never all-pairs);
+    cost is ``rotations``× the bucketed join, the standard recall/cost
+    dial. Pairs matching several rotations dedup before the verify."""
+    sh = simhash_docs(docs, text_col, id_col)
+    banded = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.shiftright(_rotl32_expr(F.col("simhash"), 8 * r), 16).alias("blk"),
+                )
+                for r in range(rotations)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.r", "b.blk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.r") == F.col("b.r"), F.col("a.blk") == F.col("b.blk"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            hamming32_expr(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ------------------------------------------------------------------ n-gram jaccard
 
 def ngram_jaccard_pairs(

@@ -19,19 +19,49 @@ the scale lever — while keeping parity EXACT:
   tiny per-window slice they actually need: a driver-side replay of the
   stop rule over the stop-on-empty sites' window items (bounded by
   K × seeds × items/page, NOT by corpus size), and a per-site
-  applyInPandas for the fuzzy gate.
+  applyInPandas for the fuzzy gate whose prior-title state rides the
+  shuffle as flagged rows, not the UDF closure.
+
+Driver-loop scale shape (round-2 rework of the round-1 scale-killers):
+
+* ``due`` is expanded **in Spark** from the committed ``frontier_pending``
+  table's in-memory twin (one row per active seed → explode over the
+  window's K pages). The driver holds only per-seed scalars (active
+  flag, max_pages) — never per-page or per-URL rows.
+* Exactly TWO driver collects per window, each one job: a tagged-union
+  stats job (per-(seed,page) item counts ∪ stop-on-empty replay rows ∪
+  dispatch/gate counts) and the accept-count job. Round 1 had five.
+* The snapshot commit is ASYNC: window N+1's DAG builds and runs while
+  window N's tables write; the manifest swap stays strictly ordered
+  (one in-flight commit; the loop waits before submitting the next).
+  Cross-window state is threaded in memory — seen set and fuzzy titles
+  as persisted DataFrames, Bloom/cuckoo shards as driver-held rows
+  (bounded by the small-filter broadcast cap; deltas collected per
+  window, merged in numpy) — so no window blocks on reading back what
+  the previous one wrote. A crash loses only uncommitted windows;
+  resume replays them deterministically from the last manifest.
+* Host-count dimensions (robots, profiles) broadcast only below
+  ``dim_broadcast_max`` rows; past that they shuffle-join (a 10^7-host
+  robots table cannot broadcast). The per-site semantic profile map the
+  driver needs (crawl delays, stop flags) comes from the 10 base
+  profiles in config — never a ``collect()`` of per-host rows.
+* The politeness window is derived from the actual per-host due-page
+  count (crawl_delay × seeds-per-host × K with 2× headroom), and the
+  scheduler's output is ASSERTED equal to the robots-allowed due count —
+  a budget shortfall fails loudly instead of silently skipping pages.
 
 Batch plan:
 
-  due (K pages × active seeds) → politeness schedule → corpus join (S2)
+  frontier_pending (1 row/active seed) → explode K pages → robots gate
+    → politeness schedule → corpus join (S2)
     → mapInPandas parse (P1/P2) → canonicalize (U1-U5, native)
-    → robots gate (C7) → exact anti-join vs seen, Bloom-routed (D1)
+    → link robots gate (C7) → exact anti-join vs seen, Bloom-routed (D1)
     → article-detail corpus join + parse where the profile needs it
       (S3/P3, semi-join reduced) → relevance (R1-R4) → time (T1-T8)
     → freshness (T6)  ⇒ pregate(row_ok)
-  stop replay (driver, stop-on-empty sites only) ⇒ per-seed page limits
+  stats job 1 (items ∪ soe-rows ∪ counts) → stop replay (driver) ⇒ limits
   mask ∧ first-occurrence dedup (D2) ∧ row_ok ∧ fuzzy (D4)
-    → span assembly (P4) → atomic snapshot commit (C6)
+    → span assembly (P4) → stats job 2 → async snapshot commit (C6)
 
 Shuffles per window: corpus join on url_canon, dedup window on
 url_canon, seen anti-join on url_canon (Bloom-pruned), fuzzy
@@ -42,7 +72,7 @@ page_kind partition column.
 from __future__ import annotations
 
 import time
-from collections import defaultdict
+from collections import Counter, defaultdict
 
 import pandas as pd
 from dataclasses import dataclass, field
@@ -51,23 +81,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import config
-from ..config import BATCH_TS
+from ..config import BATCH_TS, profile_of
 from ..functions.relevance import keyword_arrays, relevance_expr
 from ..functions.timeparse import batch_ts_lit, freshness_filter_expr, parse_time_expr
 from ..functions.urls import canonicalize_expr
 from ..operators import bloom, cuckoo
 from ..operators.fuzzy import fuzzy_gate
 from ..operators.parse import parse_article, parse_listing
-from ..operators.scheduler import order_key_col, schedule
+from ..operators.scheduler import (
+    order_key_col,
+    robots_gate,
+    schedule_gated,
+    ua_expr,
+)
 from ..operators.spans import build_spans
 from ..sources.store import SnapshotStore
 from ..sources.world import profiles_df
 
 SEED_STATE_SCHEMA = "seed_index int, site string, url string, max_pages int, active boolean"
+FRONTIER_SCHEMA = (
+    "seed_index int, site string, url_base string, next_page int, max_pages int, status string"
+)
 FUZZY_SCHEMA = "site string, norm_title string, seq long"
 METRICS_SCHEMA = (
     "batch_id int, stage string, partition_id int, rows_in long, rows_out long, wall_ms long"
 )
+STATS_SCHEMA = "tag string, a int, b int, c long, s string"
 
 
 @dataclass
@@ -85,6 +124,23 @@ class InjectedFailure(RuntimeError):
     """Raised by the fault-injection hook in resume tests."""
 
 
+class BudgetShortfall(RuntimeError):
+    """The politeness scheduler dropped robots-allowed due pages — the
+    window is too small for the host's due count (round-1 ADVICE: fail
+    loudly instead of silently skipping pages forever)."""
+
+
+def _tagged(df: DataFrame, tag: str, a=None, b=None, c=None, s=None) -> DataFrame:
+    """Project a DataFrame onto the shared stats schema."""
+    return df.select(
+        F.lit(tag).alias("tag"),
+        (a if a is not None else F.lit(None)).cast("int").alias("a"),
+        (b if b is not None else F.lit(None)).cast("int").alias("b"),
+        (c if c is not None else F.lit(None)).cast("long").alias("c"),
+        (s if s is not None else F.lit(None)).cast("string").alias("s"),
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     world: dict[str, DataFrame],
@@ -99,6 +155,8 @@ def run_crawl(
     fail_after_batch: int | None = None,
     include_keywords: list[str] | None = None,
     exclude_keywords: list[str] | None = None,
+    dim_broadcast_max: int = 4096,
+    fetch_broadcast_max: int = 4_000_000,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
     committing one snapshot per window; resumes from the store's last
@@ -122,21 +180,51 @@ def run_crawl(
     if store.last_batch_id >= 0:
         ss = store.read(spark, "seed_state").toPandas().sort_values("seed_index")
         seed_state = ss.to_dict("records")
-        fuzzy_prior = _load_fuzzy(spark, store)
+        frontier_mem = store.read(spark, "frontier_pending")
+        if frontier_mem is not None:
+            frontier_mem = frontier_mem.filter(F.col("seed_index") >= 0).persist()
+        fuzzy_mem = store.read(spark, "fuzzy_titles")
+        if fuzzy_mem is not None:
+            fuzzy_mem = fuzzy_mem.filter(F.col("seq") >= 0).persist()
+        seen_mem = store.read(spark, "seen")
+        shard_tab = {"bloom": "bloom_shards", "cuckoo": "cuckoo_shards"}.get(seen_filter)
+        shards_df = store.read(spark, shard_tab) if shard_tab else None
+        shard_rows = [r.asDict() for r in shards_df.collect()] if shards_df is not None else None
     else:
         # no init snapshot: a crash before the first window's commit
         # re-initializes from the world's seed list — same state
         ss = seeds.toPandas().sort_values("seed_index")
         ss["active"] = True
         seed_state = ss.to_dict("records")
-        fuzzy_prior = {}
+        frontier_mem = seeds.select(
+            "seed_index", "site", F.col("url").alias("url_base"),
+            F.lit(1).alias("next_page"), "max_pages", F.lit("pending").alias("status"),
+        ).persist()
+        fuzzy_mem = None
+        seen_mem = None
+        shard_rows = None
 
+    # Per-site semantic scalars the driver-side stop logic needs come from
+    # the 10 base profiles (config) — NEVER a collect() of the per-host
+    # profiles dimension (round-1 scale-killer #3).
     world_sites = sorted({s["site"] for s in seed_state})
+    prof_map = {site: profile_of(site) for site in world_sites}
     profiles = profiles_df(spark, world_sites)
-    prof_map = {r.asDict()["site"]: r.asDict() for r in profiles.collect()}
+    n_dim_rows = len(world_sites)
 
-    # politeness window must admit every due page of the window's hosts
-    max_delay_seeds = max(p["crawl_delay_s"] * 4 for p in prof_map.values())
+    def _dim(df: DataFrame) -> DataFrame:
+        """Host/site-count dimensions broadcast only while they are small;
+        at web scale they shuffle-join (round-1 scale-killer #2)."""
+        return F.broadcast(df) if n_dim_rows <= dim_broadcast_max else df
+
+    # politeness window must admit every due page of the window's hosts:
+    # a host's due count per window page is its seed count (derived from
+    # the actual seed list, not a hard-coded bound — round-1 ADVICE)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    seeds_per_site = Counter(s["site"] for s in seed_state)
+    max_delay_seeds = max(
+        prof_map[site].crawl_delay_s * n for site, n in seeds_per_site.items()
+    )
     window_s = max(60.0, max_delay_seeds * K * 2)
 
     # ---- loop-invariant column expressions (py4j expression building is
@@ -168,308 +256,402 @@ def run_crawl(
         F.coalesce(canonicalize_expr(img_raw_e, F.col("origin"), F.lit(False)), F.lit(""))
     )
     spans_e = build_spans(F.col("title"), summary_e, img_canon_e)
+    norm_title_e = F.regexp_replace(F.lower(F.col("title")), r"\s+", "")
     w_dedup = Window.partitionBy("url_canon").orderBy("order_key")
+    pages_cap_e = F.when(F.col("max_pages") > 0, F.col("max_pages")).otherwise(F.lit(1 << 30))
 
     res.prelude_s = time.time() - _t_prelude
     batch = max(store.last_batch_id, 0)  # fresh store: no init snapshot
-    while batch < max_batches:
-        _t_win = time.time()
-        batch += 1
-        p0 = (batch - 1) * K + 1
-        p1 = p0 + K - 1
-        # page-cap deactivation at window start (oracle loop-top order)
-        for s in seed_state:
-            if s["active"] and s["max_pages"] and p0 > s["max_pages"]:
-                s["active"] = False
-        active = [s for s in seed_state if s["active"]]
-        if not active:
-            break
+    prev_unpersist: list[DataFrame] = []
+    retained: list[DataFrame] = []
+    try:
+        while batch < max_batches:
+            _t_win = time.time()
+            stage_wall: dict[str, int] = {}
 
-        # ---- due frontier rows: the window's pages per active seed -----
-        due_rows = [
-            (f"{s['url']}?page={p}", s["site"], s["seed_index"], p, s["seed_index"])
-            for s in active
-            for p in range(p0, p1 + 1)
-            if not (s["max_pages"] and p > s["max_pages"])
-        ]
-        due_pdf = pd.DataFrame(
-            due_rows, columns=["url_canon", "site", "seed_index", "page", "priority"]
-        )
-        due = spark.createDataFrame(  # Arrow path — no per-row driver serialization
-            due_pdf, "url_canon string, site string, seed_index int, page int, priority int"
-        ).withColumn("host", F.parse_url(F.col("url_canon"), F.lit("HOST"))) \
-         .withColumn("order_key", order_key_col(F.col("page"), F.col("seed_index"), F.lit(0)))
+            def _clock(stage: str, t0: float) -> None:
+                stage_wall[stage] = int((time.time() - t0) * 1000)
 
-        dispatched = schedule(due, robots, bts, window_s, n_salts=n_salts).persist()
-        _stage_due = int((time.time() - _t_win) * 1000)
+            batch += 1
+            p0 = (batch - 1) * K + 1
+            p1 = p0 + K - 1
+            # page-cap deactivation at window start (oracle loop-top order)
+            for s in seed_state:
+                if s["active"] and s["max_pages"] and p0 > s["max_pages"]:
+                    s["active"] = False
+            active = [s for s in seed_state if s["active"]]
+            if not active:
+                break
 
-        # ---- fetch (replayed corpus join) + parse ----------------------
-        fetched = dispatched.select("url_canon", "site", "seed_index", "page").join(
-            listings.filter(F.col("http_status") == 200).select("url_canon", "content", "charset"),
-            on="url_canon", how="inner",
-        )
-        items = parse_listing(fetched).withColumnRenamed("url_canon", "listing_url").persist()
-
-        # ---- per-row gates (dedup-independent) → pregate ----------------
-        cand = items.join(F.broadcast(profiles), on="site", how="inner")
-        cand = cand.withColumn("url_canon", url_canon_e).filter(F.col("url_canon").isNotNull())
-        cand = (
-            cand.withColumn("link_host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
-            .join(F.broadcast(robots.withColumnRenamed("host", "link_host")
-                              .select("link_host", "disallow_prefixes")),
-                  on="link_host", how="left")
-            .filter(F.col("disallow_prefixes").isNull()
-                    | ~F.exists(F.col("disallow_prefixes"),
-                                lambda p: link_path_e.startswith(p)))
-            .drop("disallow_prefixes")
-        )
-        cand = cand.withColumn("order_key", order_key_e)
-
-        # D1: cross-batch seen — seen rows can neither accept nor claim
-        # first-occurrence, so dropping them entirely is exact. The
-        # prefilter arm (bloom or cuckoo) only routes; the anti-join decides.
-        seen = store.read(spark, "seen")
-        if seen is not None:
-            if seen_filter == "cuckoo":
-                cshards = store.read(spark, "cuckoo_shards")
-                cand = cuckoo.dedup_new(cand, seen, cshards, n_shards=n_bloom_shards)
-            else:
-                shards = store.read(spark, "bloom_shards") if seen_filter == "bloom" else None
-                cand = bloom.dedup_new(cand, seen, shards, n_shards=n_bloom_shards)
-
-        # S3/P3: article detail where the profile needs it (single join;
-        # parse carries http_status — C5 failure routing)
-        cand_urls = cand.filter(need_detail).select("url_canon")
-        detail = parse_article(
-            articles.join(cand_urls, on="url_canon", how="left_semi")
-        ).withColumnRenamed("url_canon", "d_url")
-        cand = cand.join(detail, cand["url_canon"] == detail["d_url"], "left").drop("d_url")
-
-        # localCheckpoint (not persist): caches AND severs lineage, so the
-        # analyzer stops re-walking the full gate tree on every downstream
-        # transformation (driver-serial, ~3s/window on wide worlds)
-        pregate = cand.withColumn("ts", ts_e).withColumn("row_ok", row_ok_e).localCheckpoint()
-
-        stage_wall: dict[str, int] = {}
-
-        def _clock(stage: str, t0: float) -> None:
-            stage_wall[stage] = int((time.time() - t0) * 1000)
-
-        # ---- per-(seed,page) item counts (A6 empty-page rule input) -----
-        t0 = time.time()
-        ic = items.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
-        item_counts: dict[tuple[int, int], int] = {
-            (int(s), int(p)): int(n)
-            for s, p, n in zip(ic["seed_index"], ic["page"], ic["n"])
-        }
-        _clock("parse_items", t0)
-
-        # ---- driver-side stop replay (exact A6 for stop_on_empty sites) -
-        t0 = time.time()
-        limits = _stop_replay(
-            spark, pregate, active, prof_map, item_counts, p0, p1
-        )
-        _clock("pregate_stop_replay", t0)
-        t0 = time.time()
-
-        # ---- mask + in-window first-occurrence dedup (D2) ---------------
-        limit_df = spark.createDataFrame(
-            pd.DataFrame(
-                [(s["seed_index"], limits[s["seed_index"]]) for s in active],
-                columns=["seed_index", "page_limit"],
-            ),
-            "seed_index int, page_limit int",
-        )
-        masked = pregate.join(F.broadcast(limit_df), on="seed_index").filter(
-            F.col("page") <= F.col("page_limit")
-        )
-        # first occurrence among ACCEPTABLE rows only — the oracle claims a
-        # URL on accept; a rejected earlier occurrence never blocks
-        first_occ = (
-            masked.filter(F.col("row_ok"))
-            .withColumn("rn", F.row_number().over(w_dedup))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-        # ---- fuzzy replay for fuzzy-profile sites (D4, last gate) -------
-        fuzzy_cand = first_occ.filter(F.col("fuzzy_dedup"))
-        plain = first_occ.filter(~F.col("fuzzy_dedup"))
-        gated = fuzzy_gate(
-            fuzzy_cand.select("site", "order_key", "url_canon", "title"), fuzzy_prior
-        ).filter(F.col("fuzzy_ok")).select("url_canon")
-        accepted = plain.unionByName(
-            fuzzy_cand.join(gated, on="url_canon", how="left_semi")
-        ).persist()
-
-        # ---- document assembly (P4) --------------------------------------
-        docs = accepted.select(
-            F.md5(F.col("url_canon")).alias("doc_id"),
-            spans_e.alias("spans"),
-            F.col("url_canon"), F.col("site"), F.col("ts"),
-            F.col("order_key").alias("crawl_order"),
-            F.lit(batch).alias("batch_id"),
-            F.col("seed_index"), F.col("page"),
-        ).persist()
-
-        # ---- pagination state for next window -----------------------------
-        _clock("dag_build", t0)
-        t0 = time.time()
-        ac = docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
-        acc_counts = {
-            (int(s), int(p)): int(n)
-            for s, p, n in zip(ac["seed_index"], ac["page"], ac["n"])
-        }
-        n_accepted = sum(acc_counts.values())
-        n_items_total = sum(item_counts.values())
-        _clock("accept_counts", t0)
-        t0 = time.time()
-        n_disp = dispatched.count()
-        _clock("n_disp", t0)
-        for s in active:
-            si = s["seed_index"]
-            last_due = min(p1, s["max_pages"]) if s["max_pages"] else p1
-            if limits[si] < last_due:
-                s["active"] = False  # stop rule fired inside the window
-            elif item_counts.get((si, last_due), 0) == 0:
-                s["active"] = False  # final window page was empty
-            elif (prof_map[s["site"]]["stop_on_empty"]
-                  and acc_counts.get((si, last_due), 0) == 0):
-                s["active"] = False  # final page accepted nothing
-
-        # ---- fuzzy title state update (driver sorts the tiny slice) ------
-        t0 = time.time()
-        fz = (
-            accepted.filter(F.col("fuzzy_dedup"))
-            .select("site",
-                    F.regexp_replace(F.lower(F.col("title")), r"\s+", "").alias("norm_title"),
-                    F.col("order_key").alias("seq"))
-            .toPandas()
-            .sort_values("seq")
-        )
-        for site, t in zip(fz["site"], fz["norm_title"]):
-            fuzzy_prior.setdefault(site, []).append(t)
-        _clock("fuzzy_collect", t0)
-        t0 = time.time()
-
-        # ---- per-partition lineage/metrics (north rule) -------------------
-        part_metrics = docs.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count("*").alias("rows_out")
-        ).select(
-            F.lit(batch).cast("int").alias("batch_id"),
-            F.lit("accept_partition").alias("stage"),
-            F.col("partition_id").cast("int"),
-            F.lit(n_items_total).cast("long").alias("rows_in"),
-            F.col("rows_out").cast("long"),
-            F.lit(0).cast("long").alias("wall_ms"),
-        )
-        metrics = spark.createDataFrame(
-            [
-                (batch, "dispatch", -1, len(due_rows), n_disp,
-                 stage_wall.get("pregate_stop_replay", 0)),
-                (batch, "parse", -1, n_disp, n_items_total, stage_wall.get("parse_items", 0)),
-                (batch, "accept", -1, n_items_total, n_accepted,
-                 stage_wall.get("accept_counts", 0)),
-            ],
-            METRICS_SCHEMA,
-        ).unionByName(part_metrics)
-
-        # ---- frontier bookkeeping ------------------------------------------
-        frontier_pending = spark.createDataFrame(
-            pd.DataFrame(
-                [
-                    (f"{s['url']}?page={p1 + 1}", s["site"], s["seed_index"], p1 + 1, "pending")
-                    for s in seed_state if s["active"]
-                ] or [("", "", -1, -1, "none")],
-                columns=["url_canon", "site", "seed_index", "page", "status"],
-            ),
-            "url_canon string, site string, seed_index int, page int, status string",
-        ).filter(F.col("seed_index") >= 0)
-        # C5 failure routing: non-200 / missing listings are logged as
-        # failed|missing rather than silently dropped (per-article
-        # try/except → sentinel, Daum_crawler.py:71-73, Google_Crawler.py:259-267)
-        frontier_log = (
-            dispatched.select("url_canon", "site", "seed_index", "page", "next_fetch_after")
-            .join(listings.select("url_canon", "http_status"), on="url_canon", how="left")
-            .withColumn(
-                "status",
-                F.when(F.col("http_status") == 200, F.lit("fetched"))
-                .when(F.col("http_status").isNotNull(), F.lit("failed"))
-                .otherwise(F.lit("missing")),
+            # ---- due: Spark-side explode of the frontier table ----------
+            t0 = time.time()
+            due = (
+                frontier_mem.filter(F.col("next_page") <= pages_cap_e)
+                .withColumn(
+                    "page",
+                    F.explode(F.sequence(
+                        F.col("next_page"),
+                        F.least(F.col("next_page") + F.lit(K - 1), pages_cap_e),
+                    )),
+                )
+                .select(
+                    F.concat(F.col("url_base"), F.lit("?page="), F.col("page"))
+                    .alias("url_canon"),
+                    "site", "seed_index", "page",
+                    F.col("seed_index").alias("priority"),
+                )
+                .withColumn("host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
+                .withColumn("order_key",
+                            order_key_col(F.col("page"), F.col("seed_index"), F.lit(0)))
             )
-            .drop("http_status")
-            .withColumn("depth", F.lit(0))
-            .withColumn("batch_id", F.lit(batch))
-        )
-        # article-detail fetches are frontier rows too (depth 1): the
-        # frontier log lists every URL the engine fetched this window
-        article_log = docs.select(
-            "url_canon", "site", "seed_index", "page",
-            F.lit(None).cast("timestamp").alias("next_fetch_after"),
-            F.lit("fetched").alias("status"),
-            F.lit(1).alias("depth"),
-            F.lit(batch).alias("batch_id"),
-        )
-        frontier_log = frontier_log.unionByName(article_log)
+            gated = robots_gate(due, robots, broadcast_robots=n_dim_rows <= dim_broadcast_max)
+            dispatched = schedule_gated(gated, bts, window_s, n_salts=n_salts).persist()
+            _clock("due_build", t0)
 
-        # ---- atomic snapshot commit (C6) ------------------------------------
-        seen_delta = docs.select("url_canon")
-        overwrite = {
-            "seed_state": _seed_state_df(spark, seed_state),
-            "frontier_pending": frontier_pending,
-            "fuzzy_titles": spark.createDataFrame(
+            # ---- fetch (replayed corpus join) + parse -------------------
+            # Broadcast the DISPATCH side (≤ active_seeds × K rows, known
+            # driver-side) so the big listings scan never shuffles its
+            # content column — the join runs map-side on the scan
+            # partitions and parsing starts right on top of them.
+            n_due_max = len(active) * K
+            disp_side = dispatched.select("url_canon", "site", "seed_index", "page")
+            if n_due_max <= fetch_broadcast_max:
+                disp_side = F.broadcast(disp_side)
+            # re-spread the MATCHED pages (small) across all cores before
+            # the parse UDF — the map-side join leaves them on the scan's
+            # few partitions, which would serialize parsing
+            fetched = disp_side.join(
+                listings.filter(F.col("http_status") == 200)
+                .select("url_canon", "content", "charset"),
+                on="url_canon", how="inner",
+            ).repartition(n_parts)
+            items = parse_listing(fetched).withColumnRenamed("url_canon", "listing_url").persist()
+
+            # ---- per-row gates (dedup-independent) → pregate -------------
+            cand = items.join(_dim(profiles), on="site", how="inner")
+            cand = cand.withColumn("url_canon", url_canon_e).filter(F.col("url_canon").isNotNull())
+            cand = (
+                cand.withColumn("link_host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
+                .join(_dim(robots.withColumnRenamed("host", "link_host")
+                           .select("link_host", "disallow_prefixes")),
+                      on="link_host", how="left")
+                .filter(F.col("disallow_prefixes").isNull()
+                        | ~F.exists(F.col("disallow_prefixes"),
+                                    lambda p: link_path_e.startswith(p)))
+                .drop("disallow_prefixes")
+            )
+            cand = cand.withColumn("order_key", order_key_e)
+
+            # D1: cross-batch seen — seen rows can neither accept nor claim
+            # first-occurrence, so dropping them entirely is exact. The
+            # prefilter arm (bloom or cuckoo) only routes; the anti-join decides.
+            # shard state is driver-held rows (bounded by the small-filter
+            # broadcast cap): no per-window collect/first jobs, no lazy
+            # merge chain whose evaluation grows with window count. Past
+            # BROADCAST_SHARD_BYTES the cogrouped bloom.probe path over
+            # store-materialized shards is the scale arm.
+            if seen_mem is not None:
+                if seen_filter == "cuckoo":
+                    cand = cuckoo.dedup_new_rows(cand, seen_mem, shard_rows or [],
+                                                 n_shards=n_bloom_shards)
+                elif seen_filter == "bloom":
+                    cand = bloom.dedup_new_rows(cand, seen_mem, shard_rows or [],
+                                                n_shards=n_bloom_shards)
+                else:
+                    cand = cand.join(seen_mem, on="url_canon", how="left_anti")
+
+            # S3/P3: article detail where the profile needs it (single join;
+            # parse carries http_status — C5 failure routing). The
+            # candidate-URL side is bounded by the window's parsed items —
+            # broadcast it so the article corpus (content column, the
+            # heaviest table) is semi-join-reduced at the SCAN, not
+            # shuffled wholesale.
+            cand_urls = cand.filter(need_detail).select("url_canon").distinct()
+            if n_due_max * 64 <= fetch_broadcast_max:
+                cand_urls = F.broadcast(cand_urls)
+            detail = parse_article(
+                articles.join(cand_urls, on="url_canon", how="left_semi")
+                .repartition(n_parts)
+            ).withColumnRenamed("url_canon", "d_url")
+            cand = cand.join(detail, cand["url_canon"] == detail["d_url"], "left").drop("d_url")
+
+            # localCheckpoint (not persist): caches AND severs lineage, so the
+            # analyzer stops re-walking the full gate tree on every downstream
+            # transformation (driver-serial, ~3s/window on wide worlds).
+            # Column-pruned first: the gates consumed the wide profile/detail
+            # columns already — caching them would double the checkpoint bytes.
+            t0 = time.time()
+            pregate = (
+                cand.withColumn("ts", ts_e)
+                .withColumn("row_ok", row_ok_e)
+                .select("url_canon", "site", "seed_index", "page", "dom_pos",
+                        "order_key", "title", "img", "origin", "time_source",
+                        "fuzzy_dedup", "d_summary", "d_img", "ts", "row_ok")
+                .localCheckpoint()
+            )
+            _clock("pregate_materialize", t0)
+
+            # ---- stats job 1: ONE collect for item counts (A6 input),
+            # stop-on-empty replay rows, and dispatch/gate counts ----------
+            t0 = time.time()
+            soe_sites = [s["site"] for s in active if prof_map[s["site"]].stop_on_empty]
+            stats1 = (
+                _tagged(
+                    items.groupBy("seed_index", "page").agg(F.count("*").alias("n")),
+                    "item", a=F.col("seed_index"), b=F.col("page"), c=F.col("n"),
+                )
+                .unionByName(_tagged(
+                    pregate.filter(F.col("site").isin(soe_sites) & F.col("row_ok")),
+                    "soe", a=F.col("seed_index"), b=F.col("page"),
+                    c=F.col("dom_pos"), s=F.col("url_canon"),
+                ))
+                .unionByName(_tagged(dispatched.agg(F.count("*").alias("n")),
+                                     "disp", c=F.col("n")))
+                .unionByName(_tagged(gated.agg(F.count("*").alias("n")),
+                                     "gated", c=F.col("n")))
+            ).toPandas()
+            item_counts: dict[tuple[int, int], int] = {}
+            soe_rows: list[tuple[int, int, int, str]] = []
+            n_disp = n_gated = 0
+            for tag, a, b, c, s_ in zip(stats1["tag"], stats1["a"], stats1["b"],
+                                        stats1["c"], stats1["s"]):
+                if tag == "item":
+                    item_counts[(int(a), int(b))] = int(c)
+                elif tag == "soe":
+                    soe_rows.append((int(a), int(b), int(c), s_))
+                elif tag == "disp":
+                    n_disp = int(c)
+                else:
+                    n_gated = int(c)
+            if n_disp != n_gated:
+                raise BudgetShortfall(
+                    f"scheduler dispatched {n_disp} of {n_gated} robots-allowed due "
+                    f"pages in window {batch}; widen window_s or lower K"
+                )
+            _clock("stats1", t0)
+
+            # ---- driver-side stop replay (exact A6; bounded by window rows)
+            t0 = time.time()
+            limits = _stop_replay(active, prof_map, item_counts, soe_rows, p0, p1)
+            _clock("stop_replay", t0)
+            t0 = time.time()
+
+            # ---- mask + in-window first-occurrence dedup (D2) -----------
+            limit_df = spark.createDataFrame(
                 pd.DataFrame(
-                    [(site, t, i) for site, ts_ in fuzzy_prior.items()
-                     for i, t in enumerate(ts_)] or [("", "", -1)],
-                    columns=["site", "norm_title", "seq"],
+                    [(s["seed_index"], limits[s["seed_index"]]) for s in active],
+                    columns=["seed_index", "page_limit"],
                 ),
-                FUZZY_SCHEMA,
-            ),
-        }
-        if seen_filter == "bloom":
-            delta_shards = bloom.build_shards(seen_delta, n_shards=n_bloom_shards, version=batch)
-            prev_shards = store.read(spark, "bloom_shards")
-            overwrite["bloom_shards"] = (
-                bloom.merge_shards(prev_shards, delta_shards)
-                if prev_shards is not None else delta_shards
+                "seed_index int, page_limit int",
             )
-        elif seen_filter == "cuckoo":
-            prev_c = store.read(spark, "cuckoo_shards")
-            overwrite["cuckoo_shards"] = (
-                cuckoo.insert_urls(prev_c, seen_delta, n_shards=n_bloom_shards)
-                if prev_c is not None
-                else cuckoo.build_shards(seen_delta, n_shards=n_bloom_shards, version=batch)
+            masked = pregate.join(F.broadcast(limit_df), on="seed_index").filter(
+                F.col("page") <= F.col("page_limit")
             )
-        _clock("prep", t0)
-        t0 = time.time()
-        store.commit(
-            batch,
-            overwrite=overwrite,
-            append={
-                "documents": docs.drop("seed_index", "page"),
-                "seen": seen_delta,
-                "frontier_log": frontier_log,
-                "metrics": metrics,
-            },
-            meta={"pages": [p0, p1], "active_seeds": sum(1 for s in seed_state if s["active"])},
-        )
-        _clock("commit", t0)
-        for df in (docs, accepted, pregate, items, dispatched):
-            df.unpersist()
+            # first occurrence among ACCEPTABLE rows only — the oracle claims a
+            # URL on accept; a rejected earlier occurrence never blocks
+            first_occ = (
+                masked.filter(F.col("row_ok"))
+                .withColumn("rn", F.row_number().over(w_dedup))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
 
-        res.batches += 1
-        res.dispatched += n_disp
-        res.items += n_items_total
-        res.accepted += n_accepted
-        res.frontier_rows += n_disp + n_accepted + len(due_rows)
-        stage_wall["due_build"] = _stage_due
-        stage_wall["window_total"] = int((time.time() - _t_win) * 1000)
-        res.per_batch.append(
-            {"batch": batch, "pages": [p0, p1], "dispatched": n_disp,
-             "items": n_items_total, "accepted": n_accepted, "wall_ms": stage_wall}
-        )
-        if fail_after_batch is not None and batch >= fail_after_batch:
-            raise InjectedFailure(f"injected failure after batch {batch}")
+            # ---- fuzzy replay (D4, last gate): prior titles ride the
+            # shuffle as flagged rows — constant-size closure --------------
+            fuzzy_cand = first_occ.filter(F.col("fuzzy_dedup"))
+            plain = first_occ.filter(~F.col("fuzzy_dedup"))
+            gated_fz = fuzzy_gate(
+                fuzzy_cand.select("site", "order_key", "url_canon", "title"),
+                fuzzy_mem,
+            ).select("url_canon")
+            accepted = plain.unionByName(
+                fuzzy_cand.join(gated_fz, on="url_canon", how="left_semi")
+            ).persist()
+
+            # ---- document assembly (P4) ---------------------------------
+            docs = accepted.select(
+                F.md5(F.col("url_canon")).alias("doc_id"),
+                spans_e.alias("spans"),
+                F.col("url_canon"), F.col("site"), F.col("ts"),
+                F.col("order_key").alias("crawl_order"),
+                F.lit(batch).alias("batch_id"),
+                F.col("seed_index"), F.col("page"),
+                norm_title_e.alias("norm_title"),
+                F.col("fuzzy_dedup"),
+            ).persist()
+            _clock("dag_build", t0)
+
+            # ---- stats job 2: accept counts ------------------------------
+            t0 = time.time()
+            ac = docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
+            acc_counts = {
+                (int(s_), int(p)): int(n)
+                for s_, p, n in zip(ac["seed_index"], ac["page"], ac["n"])
+            }
+            n_accepted = sum(acc_counts.values())
+            n_items_total = sum(item_counts.values())
+            _clock("stats2", t0)
+            t0 = time.time()
+
+            # ---- pagination state for next window ------------------------
+            for s in active:
+                si = s["seed_index"]
+                last_due = min(p1, s["max_pages"]) if s["max_pages"] else p1
+                if limits[si] < last_due:
+                    s["active"] = False  # stop rule fired inside the window
+                elif item_counts.get((si, last_due), 0) == 0:
+                    s["active"] = False  # final window page was empty
+                elif (prof_map[s["site"]].stop_on_empty
+                      and acc_counts.get((si, last_due), 0) == 0):
+                    s["active"] = False  # final page accepted nothing
+
+            # ---- cross-window state (in-memory, committed async) ---------
+            seen_delta = docs.select("url_canon").persist()
+            retained.append(seen_delta)
+            new_seen = seen_mem.unionByName(seen_delta) if seen_mem is not None else seen_delta
+            fz_delta = (
+                docs.filter(F.col("fuzzy_dedup"))
+                .select("site", "norm_title", F.col("crawl_order").alias("seq"))
+                .persist()
+            )
+            retained.append(fz_delta)
+            new_fuzzy = fuzzy_mem.unionByName(fz_delta) if fuzzy_mem is not None else fz_delta
+
+            # filter update: collect only the DELTA (one small job on the
+            # cached seen_delta), merge/insert driver-side in numpy
+            overwrite: dict[str, DataFrame] = {}
+            if seen_filter == "bloom":
+                delta_rows = [r.asDict() for r in bloom.build_shards(
+                    seen_delta, n_shards=n_bloom_shards, version=batch).collect()]
+                shard_rows = bloom.merge_rows(shard_rows, delta_rows)
+                overwrite["bloom_shards"] = bloom.rows_df(spark, shard_rows)
+            elif seen_filter == "cuckoo":
+                fps_rows = [r.asDict() for r in cuckoo.delta_fps(
+                    seen_delta, n_shards=n_bloom_shards).collect()]
+                shard_rows = cuckoo.insert_rows(shard_rows, fps_rows,
+                                                n_shards=n_bloom_shards)
+                overwrite["cuckoo_shards"] = cuckoo.rows_df(spark, shard_rows)
+
+            frontier_rows = [
+                (s["seed_index"], s["site"], s["url"], p1 + 1, s["max_pages"], "pending")
+                for s in seed_state if s["active"]
+            ]
+            new_frontier = spark.createDataFrame(
+                pd.DataFrame(
+                    frontier_rows or [(-1, "", "", -1, -1, "none")],
+                    columns=["seed_index", "site", "url_base", "next_page",
+                             "max_pages", "status"],
+                ),
+                FRONTIER_SCHEMA,
+            ).filter(F.col("seed_index") >= 0).persist()
+
+            # C5 failure routing: non-200 / missing listings are logged as
+            # failed|missing rather than silently dropped (per-article
+            # try/except → sentinel, Daum_crawler.py:71-73,
+            # Google_Crawler.py:259-267). C2: deterministic per-dispatch
+            # user_agent from the hash family (Google_Crawler.py:57,152).
+            frontier_log = (
+                dispatched.select("url_canon", "site", "seed_index", "page",
+                                  "next_fetch_after")
+                .withColumn("user_agent", ua_expr(F.col("url_canon")))
+                .join(listings.select("url_canon", "http_status"), on="url_canon", how="left")
+                .withColumn(
+                    "status",
+                    F.when(F.col("http_status") == 200, F.lit("fetched"))
+                    .when(F.col("http_status").isNotNull(), F.lit("failed"))
+                    .otherwise(F.lit("missing")),
+                )
+                .drop("http_status")
+                .withColumn("depth", F.lit(0))
+                .withColumn("batch_id", F.lit(batch))
+            )
+            # article-detail fetches are frontier rows too (depth 1): the
+            # frontier log lists every URL the engine fetched this window
+            article_log = docs.select(
+                "url_canon", "site", "seed_index", "page",
+                F.lit(None).cast("timestamp").alias("next_fetch_after"),
+                ua_expr(F.col("url_canon")).alias("user_agent"),
+                F.lit("fetched").alias("status"),
+                F.lit(1).alias("depth"),
+                F.lit(batch).alias("batch_id"),
+            )
+            frontier_log = frontier_log.unionByName(article_log)
+
+            # ---- per-partition lineage/metrics (north rule) ---------------
+            part_metrics = docs.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                F.count("*").alias("rows_out")
+            ).select(
+                F.lit(batch).cast("int").alias("batch_id"),
+                F.lit("accept_partition").alias("stage"),
+                F.col("partition_id").cast("int"),
+                F.lit(n_items_total).cast("long").alias("rows_in"),
+                F.col("rows_out").cast("long"),
+                F.lit(0).cast("long").alias("wall_ms"),
+            )
+            metrics = spark.createDataFrame(
+                [
+                    (batch, "dispatch", -1, n_gated, n_disp,
+                     stage_wall.get("stats1", 0)),
+                    (batch, "parse", -1, n_disp, n_items_total,
+                     stage_wall.get("pregate_materialize", 0)),
+                    (batch, "accept", -1, n_items_total, n_accepted,
+                     stage_wall.get("stats2", 0)),
+                ],
+                METRICS_SCHEMA,
+            ).unionByName(part_metrics)
+
+            overwrite["seed_state"] = _seed_state_df(spark, seed_state)
+            overwrite["frontier_pending"] = new_frontier
+            overwrite["fuzzy_titles"] = new_fuzzy
+            _clock("prep", t0)
+
+            # ---- async snapshot commit (C6): wait for the previous
+            # window's commit (manifest swaps stay ordered), release its
+            # cached inputs, then write this window in the background while
+            # the next window's DAG builds and runs -------------------------
+            t0 = time.time()
+            store.wait_commit()
+            for df in prev_unpersist:
+                df.unpersist()
+            _clock("commit_wait", t0)
+            t0 = time.time()
+            store.commit_async(
+                batch,
+                overwrite=overwrite,
+                append={
+                    "documents": docs.drop("seed_index", "page", "norm_title",
+                                           "fuzzy_dedup"),
+                    "seen": seen_delta,
+                    "frontier_log": frontier_log,
+                    "metrics": metrics,
+                },
+                meta={"pages": [p0, p1],
+                      "active_seeds": sum(1 for s in seed_state if s["active"])},
+            )
+            _clock("commit_submit", t0)
+
+            prev_unpersist = [docs, accepted, pregate, items, dispatched, frontier_mem]
+            seen_mem, fuzzy_mem, frontier_mem = new_seen, new_fuzzy, new_frontier
+
+            res.batches += 1
+            res.dispatched += n_disp
+            res.items += n_items_total
+            res.accepted += n_accepted
+            res.frontier_rows += n_disp + n_accepted + len(frontier_rows)
+            stage_wall["window_total"] = int((time.time() - _t_win) * 1000)
+            res.per_batch.append(
+                {"batch": batch, "pages": [p0, p1], "dispatched": n_disp,
+                 "items": n_items_total, "accepted": n_accepted, "wall_ms": stage_wall}
+            )
+            if fail_after_batch is not None and batch >= fail_after_batch:
+                store.wait_commit()
+                raise InjectedFailure(f"injected failure after batch {batch}")
+    finally:
+        store.wait_commit()
+        for df in prev_unpersist + retained:
+            df.unpersist()
+        if frontier_mem is not None:
+            frontier_mem.unpersist()
     return res
 
 
@@ -487,27 +669,28 @@ def _seed_state_df(spark: SparkSession, seed_state: list[dict]) -> DataFrame:
 
 
 def _stop_replay(
-    spark: SparkSession,
-    pregate: DataFrame,
     active: list[dict],
-    prof_map: dict[str, dict],
+    prof_map: dict[str, object],
     item_counts: dict[tuple[int, int], int],
+    soe_rows: list[tuple[int, int, int, str]],
     p0: int,
     p1: int,
 ) -> dict[int, int]:
-    """Exact per-seed page limits for this window.
+    """Exact per-seed page limits for this window — pure driver-side
+    computation over the stats job's collected rows.
 
     Non-stop-on-empty seeds stop only on an empty/missing page (or page
     cap). Stop-on-empty sites additionally stop on a page with items but
     zero accepts — acceptance depends on in-window URL claims, which
     never cross sites, so the sequential rule is replayed driver-side
-    over ONLY those sites' window candidates: bounded by
-    pages_per_batch × seeds × items/page, independent of corpus size
-    (SURVEY §2.7 A6; Gukje_Crawler.py:149-151, Nate_Crawler.py:190-192).
+    over ONLY those sites' window candidates (``soe_rows``, bounded by
+    pages_per_batch × seeds × items/page, independent of corpus size;
+    SURVEY §2.7 A6; Gukje_Crawler.py:149-151, Nate_Crawler.py:190-192).
     """
     limits: dict[int, int] = {}
-    soe_sites = {s["site"] for s in active if prof_map[s["site"]]["stop_on_empty"]}
+    soe_sites = {s["site"] for s in active if prof_map[s["site"]].stop_on_empty}
     by_site_seed: dict[str, list[dict]] = defaultdict(list)
+    seed_site = {s["seed_index"]: s["site"] for s in active}
     for s in active:
         by_site_seed[s["site"]].append(s)
 
@@ -527,17 +710,11 @@ def _stop_replay(
 
     # Only row_ok rows can claim a URL or count toward acceptance; rejected
     # rows are no-ops in the sequential rule (empty-page detection uses
-    # item_counts, gathered separately) — so the collect is bounded by the
-    # SOE sites' ACCEPTABLE rows, a small fraction of window items.
-    rows = (
-        pregate.filter(F.col("site").isin(list(soe_sites)) & F.col("row_ok"))
-        .select("seed_index", "page", "dom_pos", "url_canon")
-        .toPandas()
-    )
+    # item_counts, gathered in the same stats job).
     per_cell: dict[tuple[int, int], list] = defaultdict(list)
-    for si, p, dp, u in zip(rows["seed_index"], rows["page"], rows["dom_pos"],
-                            rows["url_canon"]):
-        per_cell[(int(si), int(p))].append((int(dp), u))
+    for si, p, dp, u in soe_rows:
+        if si in seed_site:
+            per_cell[(si, p)].append((dp, u))
 
     for site in sorted(soe_sites):
         site_seeds = sorted(by_site_seed[site], key=lambda s: s["seed_index"])
@@ -561,13 +738,3 @@ def _stop_replay(
                     limits[si] = min(limits[si], p)
                     stopped.add(si)
     return limits
-
-
-def _load_fuzzy(spark: SparkSession, store: SnapshotStore) -> dict[str, list[str]]:
-    df = store.read(spark, "fuzzy_titles")
-    out: dict[str, list[str]] = {}
-    if df is None:
-        return out
-    for r in df.filter(F.col("seq") >= 0).orderBy("site", "seq").collect():
-        out.setdefault(r["site"], []).append(r["norm_title"])
-    return out

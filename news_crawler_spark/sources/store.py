@@ -39,22 +39,55 @@ from pyspark.sql import DataFrame, SparkSession
 
 class SnapshotStore:
     MANIFEST = "_manifest.json"
+    HIST_DIR = "_hist"
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, keep_versions: int = 3):
+        """``keep_versions``: how many superseded manifest versions keep
+        their overwrite-table directories on disk (rollback window).
+        Append deltas are never GC'd by version."""
         self.root = root
+        self.keep_versions = keep_versions
+        self._pending = None
+        self._executor = None
         os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.join(root, self.HIST_DIR), exist_ok=True)
 
     # ------------------------------------------------------------ manifest
 
     def _manifest_path(self) -> str:
         return os.path.join(self.root, self.MANIFEST)
 
+    def _hist_path(self, version: int) -> str:
+        return os.path.join(self.root, self.HIST_DIR, f"m_{version:08d}.json")
+
+    def _hist_versions(self) -> list[int]:
+        d = os.path.join(self.root, self.HIST_DIR)
+        out = []
+        for name in os.listdir(d) if os.path.isdir(d) else []:
+            if name.startswith("m_") and name.endswith(".json"):
+                out.append(int(name[2:-5]))
+        return sorted(out)
+
     def manifest(self) -> dict:
+        """Live manifest; a corrupted/truncated main manifest recovers
+        from the newest parseable history copy (the Google corrupted-
+        state-recovery analog, Google_Crawler.py:112-145 — there: corrupt
+        JSON state → reset; here: roll back to last good manifest)."""
         p = self._manifest_path()
         if not os.path.exists(p):
             return {"version": 0, "batch_id": -1, "tables": {}, "history": []}
-        with open(p) as f:
-            return json.load(f)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            for v in reversed(self._hist_versions()):
+                try:
+                    with open(self._hist_path(v)) as f:
+                        man = json.load(f)
+                    return man
+                except (json.JSONDecodeError, OSError):
+                    continue
+            return {"version": 0, "batch_id": -1, "tables": {}, "history": []}
 
     @property
     def last_batch_id(self) -> int:
@@ -80,9 +113,11 @@ class SnapshotStore:
         batch (Iceberg snapshot-read semantics). Append deltas are named
         by the version that committed them and the manifest history maps
         batch→version, so the as-of state is the delta dirs with version
-        ≤ that batch's version. Overwrite tables are not time-travelable
-        here (superseded versions are GC'd — by design, they are derived
-        state rebuilt each window)."""
+        ≤ that batch's version. History is kept in FULL (a few bytes per
+        commit — round-1 ADVICE: truncation made old batches
+        indistinguishable from 'never existed'). Overwrite tables
+        time-travel within the ``keep_versions`` rollback window via
+        ``rollback``."""
         man = self.manifest()
         entry = man["tables"].get(name)
         if not entry or entry.get("mode") != "append":
@@ -95,6 +130,40 @@ class SnapshotStore:
         if not dirs:
             return None
         return spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+
+    # ------------------------------------------------------------ rollback
+
+    def rollback(self, batch_id: int) -> None:
+        """Restore the store to the state committed for ``batch_id`` —
+        the engine's corrupted-state/operator-error escape hatch. The
+        historical manifest becomes a NEW manifest version (roll-forward
+        history is preserved on disk until GC'd), so a rollback is itself
+        atomic and resumable. Only batches whose overwrite dirs are still
+        within the ``keep_versions`` GC window can be restored."""
+        self.wait_commit()
+        target = None
+        for v in reversed(self._hist_versions()):
+            with open(self._hist_path(v)) as f:
+                man = json.load(f)
+            if man.get("batch_id") == batch_id:
+                target = man
+                break
+        if target is None:
+            raise KeyError(f"no manifest history for batch {batch_id}")
+        missing = [
+            d for e in target["tables"].values() for d in e["dirs"]
+            if not os.path.isdir(os.path.join(self.root, d))
+        ]
+        if missing:
+            raise KeyError(
+                f"batch {batch_id} outside the rollback window; GC'd dirs: {missing}"
+            )
+        cur = self.manifest()
+        new_man = dict(target)
+        new_man["version"] = int(cur["version"]) + 1
+        new_man["rolled_back_from"] = cur["version"]
+        self._swap_manifest(new_man)
+        self._gc(new_man["tables"])
 
     # ------------------------------------------------------------ commit
 
@@ -145,26 +214,80 @@ class SnapshotStore:
             "tables": tables,
             "committed_at": time.time(),
             "meta": meta or {},
-            "history": (man.get("history") or [])[-50:]
+            # FULL history (version↔batch map for read_at_batch): a few
+            # bytes per commit, never truncated (round-1 ADVICE)
+            "history": (man.get("history") or [])
             + [{"version": new_version, "batch_id": batch_id}],
         }
+        self._swap_manifest(new_man)
+        self._gc(tables)
+
+    def _swap_manifest(self, new_man: dict) -> None:
+        """Write the full manifest to history, then atomically swap the
+        live pointer. The history copy lands BEFORE the swap so recovery
+        never sees a committed state without its history twin."""
+        hist = self._hist_path(int(new_man["version"]))
+        with open(hist, "w") as f:
+            json.dump(new_man, f)
+            f.flush()
+            os.fsync(f.fileno())
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_man, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())  # the atomic commit point
-        self._gc(tables)
+
+    # ------------------------------------------------------------ async
+
+    def commit_async(self, *args, **kwargs):
+        """Submit ``commit`` on a background thread; at most one commit is
+        in flight (a second submission waits for the first — manifest
+        versions stay strictly ordered). The caller overlaps the next
+        micro-batch's DAG build/compute with this window's table writes;
+        a crash before the swap simply resumes from the previous
+        manifest and replays the window (idempotent)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.wait_commit()
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="snapshot-commit"
+            )
+        self._pending = self._executor.submit(self.commit, *args, **kwargs)
+        return self._pending
+
+    def wait_commit(self) -> None:
+        """Block until the in-flight async commit (if any) has swapped its
+        manifest; re-raises its exception."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
 
     # ------------------------------------------------------------ gc
 
     def _gc(self, live_tables: dict) -> None:
-        """Remove version dirs no manifest references (orphans from
-        crashed batches and superseded overwrite versions)."""
+        """Remove version dirs not referenced by the live manifest or by
+        the last ``keep_versions`` history manifests (the rollback
+        window). History manifest FILES are kept in full — bytes, not
+        data — so read_at_batch works for every committed batch. Orphan
+        dirs from crashed batches disappear here too."""
         live: set[str] = set()
         for entry in live_tables.values():
             live.update(entry["dirs"])
+        versions = self._hist_versions()
+        kept = versions[-self.keep_versions:] if self.keep_versions else []
+        for v in kept:
+            try:
+                with open(self._hist_path(v)) as f:
+                    man = json.load(f)
+                for entry in man["tables"].values():
+                    live.update(entry["dirs"])
+            except (json.JSONDecodeError, OSError):
+                continue
         for name in os.listdir(self.root):
+            if name == self.HIST_DIR:
+                continue
             tdir = os.path.join(self.root, name)
             if not os.path.isdir(tdir):
                 continue

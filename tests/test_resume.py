@@ -46,7 +46,10 @@ def test_merge_insert_idempotent(spark):
 
 
 def test_store_atomic_commit_and_gc(spark, tmp_store):
-    store = SnapshotStore(tmp_store)
+    # keep_versions=0: superseded overwrite versions GC immediately
+    # (the round-1 behavior; keep_versions>0 retains a rollback window,
+    # covered by tests/test_store_rollback.py)
+    store = SnapshotStore(tmp_store, keep_versions=0)
     df1 = spark.createDataFrame([(1,)], "a int")
     store.commit(0, overwrite={"t": df1})
     store.commit(1, overwrite={"t": spark.createDataFrame([(2,)], "a int")},

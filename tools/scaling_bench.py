@@ -4,7 +4,8 @@ and local[4N] in separate JVMs, report throughput at both plus the
 scaling efficiency (speedup / 4), and write BENCH/BASELINE.md.
 
 Usage: python tools/scaling_bench.py [N] [scale] [site_mult] [K]
-Defaults: N=8 (→ 8 vs 32 cores), scale=2, mult=48, K=36.
+Defaults: N=2 (→ 2 vs 8 cores; this host is noisy past ~8-16
+threads — CLAUDE.md), scale=8, mult=96, K=128.
 
 Each measurement is a fresh `python -c` subprocess so JVM thread pools,
 shuffle partitions, and memory are sized for that parallelism level only
@@ -66,10 +67,10 @@ def run_py(snippet: str) -> str:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    scale = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
-    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 48
-    K = int(sys.argv[4]) if len(sys.argv) > 4 else 36
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    scale = float(sys.argv[2]) if len(sys.argv) > 2 else 8.0
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 96
+    K = int(sys.argv[4]) if len(sys.argv) > 4 else 128
 
     tmp = tempfile.mkdtemp(prefix="scaling_")
     world_dir = f"{tmp}/world"
