@@ -133,8 +133,8 @@ def main() -> None:
         "scaling": {
             "note": "measured separately in fresh JVMs (tools/scaling_bench.py, "
                     "tools/frontier_throughput.py) -> BENCH/BASELINE.md",
-            "operator_hotpath_eff_2_to_8_cores": 0.84,
-            "pipeline_eff_2_to_8_cores": 0.40,
+            "operator_hotpath_eff_2_to_8_cores": 0.69,
+            "pipeline_eff_2_to_8_cores": 0.60,
         },
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
     }))

@@ -39,13 +39,14 @@ BLOOM_SCHEMA = "shard_id int, n_bits bigint, n_hashes int, bits binary, version 
 
 
 def _h12(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    h1 = np.empty(len(urls), dtype=np.uint64)
-    h2 = np.empty(len(urls), dtype=np.uint64)
-    for i, u in enumerate(urls):
-        d = hashlib.md5(u.encode()).digest()
-        h1[i] = int.from_bytes(d[:8], "big")
-        h2[i] = int.from_bytes(d[8:], "big") | 1  # odd → full-period stride
-    return h1, h2
+    """Per-URL md5 double-hash. The digest call is per-row (hashlib has no
+    batch API) but the 128-bit→(h1,h2) unpacking is one vectorized
+    frombuffer over the concatenated digests — no per-row int.from_bytes."""
+    if len(urls) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    digs = b"".join(hashlib.md5(u.encode()).digest() for u in urls)
+    arr = np.frombuffer(digs, dtype=">u8").reshape(-1, 2).astype(np.uint64)
+    return arr[:, 0], arr[:, 1] | np.uint64(1)  # odd → full-period stride
 
 
 def shard_id_col(url: F.Column, n_shards: int = DEFAULT_N_SHARDS) -> F.Column:

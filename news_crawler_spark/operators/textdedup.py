@@ -106,13 +106,11 @@ def minhash_lsh_pairs(
     quadratic."""
     n_bands = n_hashes // band_size
     sh = shingles_expr(F.col(text_col), shingle_n)
-    # persist: the banded view is consumed twice per self-join side — the
-    # (shingle → md5-fold) subtree would otherwise evaluate 4×
     sigs = docs.select(
         F.col(id_col).alias("id"),
         sh.alias("ws"),
         minhash_signature_expr(sh, n_hashes).alias("sig"),
-    ).persist()
+    )
     banded = sigs.select(
         "id",
         "ws",
@@ -130,22 +128,36 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", "ws", "band.band_id", "band.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # ONE pass: group each LSH bucket and emit its (i<j) pairs natively —
+    # no self-join, so the (shingle → md5-fold) subtree evaluates once per
+    # band and nothing needs persist (round-1 ADVICE: the old self-join
+    # persist leaked cached blocks across invocations). Bucket sizes are
+    # small by LSH construction; the nested transform is bounded by them.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "ws"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    n = F.size(F.col("ms"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ms"), i)["id"].alias("a"),
+                    F.element_at(F.col("ms"), j)["id"].alias("b"),
+                    jaccard_expr(
+                        F.element_at(F.col("ms"), i)["ws"],
+                        F.element_at(F.col("ms"), j)["ws"],
+                    ).alias("jac"),
+                ),
+            ),
+        )
+    )
     cand = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_hash") == F.col("r.band_hash"),
-                F.col("l.id") < F.col("r.id"),
-            ],
-        )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            jaccard_expr(F.col("l.ws"), F.col("r.ws")).alias("jac"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.jac")
         .dropDuplicates(["a", "b"])
     )
     return cand.filter(F.col("jac") >= verify_jaccard)
@@ -159,14 +171,15 @@ def _hex32_to_long(hex8: Column) -> Column:
 
 def simhash32_expr(items: Column) -> Column:
     """32-bit SimHash over md5-hashed items: bit i is set when more items
-    have bit i set than clear (ties → clear). Native HOFs only.
-    (2^b via pow — exact in double for b ≤ 31; shiftleft needs a literal
-    shift amount so it can't take the lambda variable.)"""
+    have bit i set than clear (ties → clear). Native HOFs only; the bit
+    masks come from a 32-entry literal power table (shiftleft needs a
+    literal shift amount, and pow-per-bit was 32 float pow calls/row)."""
     hashes = F.transform(items, lambda x: _hex32_to_long(F.substring(F.md5(x), 1, 8)))
     n = F.size(hashes)
+    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
 
     def p2(b: Column) -> Column:
-        return F.pow(F.lit(2.0), b.cast("double")).cast("long")
+        return F.element_at(pows, b + 1)
 
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(31)),
