@@ -157,6 +157,8 @@ def run_crawl(
     exclude_keywords: list[str] | None = None,
     dim_broadcast_max: int = 4096,
     fetch_broadcast_max: int = 4_000_000,
+    max_retries: int = 0,
+    retry_backoff_windows: int = 1,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
     committing one snapshot per window; resumes from the store's last
@@ -186,6 +188,9 @@ def run_crawl(
         fuzzy_mem = store.read(spark, "fuzzy_titles")
         if fuzzy_mem is not None:
             fuzzy_mem = fuzzy_mem.filter(F.col("seq") >= 0).persist()
+        retry_mem = store.read(spark, "retry_pending")
+        if retry_mem is not None:
+            retry_mem = retry_mem.filter(F.col("seed_index") >= 0).persist()
         seen_mem = store.read(spark, "seen")
         shard_tab = {"bloom": "bloom_shards", "cuckoo": "cuckoo_shards"}.get(seen_filter)
         shards_df = store.read(spark, shard_tab) if shard_tab else None
@@ -203,6 +208,7 @@ def run_crawl(
         fuzzy_mem = None
         seen_mem = None
         shard_rows = None
+        retry_mem = None
 
     # Per-site semantic scalars the driver-side stop logic needs come from
     # the 10 base profiles (config) — NEVER a collect() of the per-host
@@ -260,6 +266,7 @@ def run_crawl(
     w_dedup = Window.partitionBy("url_canon").orderBy("order_key")
     pages_cap_e = F.when(F.col("max_pages") > 0, F.col("max_pages")).otherwise(F.lit(1 << 30))
 
+    n_retry = retry_mem.count() if retry_mem is not None else 0
     res.prelude_s = time.time() - _t_prelude
     batch = max(store.last_batch_id, 0)  # fresh store: no init snapshot
     prev_unpersist: list[DataFrame] = []
@@ -280,7 +287,7 @@ def run_crawl(
                 if s["active"] and s["max_pages"] and p0 > s["max_pages"]:
                     s["active"] = False
             active = [s for s in seed_state if s["active"]]
-            if not active:
+            if not active and n_retry == 0:
                 break
 
             # ---- due: Spark-side explode of the frontier table ----------
@@ -300,12 +307,50 @@ def run_crawl(
                     "site", "seed_index", "page",
                     F.col("seed_index").alias("priority"),
                 )
+                .withColumn("attempt", F.lit(0))
                 .withColumn("host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
                 .withColumn("order_key",
                             order_key_col(F.col("page"), F.col("seed_index"), F.lit(0)))
             )
+            # C5 retry/requeue: failed fetches re-enter the due set after a
+            # deterministic backoff measured in WINDOWS (wall-clock backoff
+            # would break replay); retried rows keep their original
+            # (page, seed_index, dom_pos) order keys, so recovered items
+            # land in crawl order. Retries never resurrect stopped seeds.
+            held = None
+            if retry_mem is not None and n_retry > 0:
+                eligible = retry_mem.filter(F.col("retry_after_batch") <= batch)
+                held = retry_mem.filter(F.col("retry_after_batch") > batch)
+                retry_due = (
+                    eligible.select(
+                        "url_canon", "site", "seed_index", "page",
+                        F.col("seed_index").alias("priority"), "attempt",
+                    )
+                    .withColumn("host", F.parse_url(F.col("url_canon"), F.lit("HOST")))
+                    .withColumn("order_key",
+                                order_key_col(F.col("page"), F.col("seed_index"), F.lit(0)))
+                )
+                due = due.unionByName(retry_due)
             gated = robots_gate(due, robots, broadcast_robots=n_dim_rows <= dim_broadcast_max)
             dispatched = schedule_gated(gated, bts, window_s, n_salts=n_salts).persist()
+            retries_next = None
+            if max_retries > 0:
+                fail_rows = (
+                    dispatched.select("url_canon", "site", "seed_index", "page", "attempt")
+                    .join(listings.select("url_canon", "http_status"),
+                          on="url_canon", how="left")
+                    .filter(F.col("http_status").isNull() | (F.col("http_status") != 200))
+                    .drop("http_status")
+                )
+                retries_next = (
+                    fail_rows.filter(F.col("attempt") < max_retries)
+                    .withColumn("attempt", F.col("attempt") + 1)
+                    .withColumn("retry_after_batch",
+                                F.lit(batch + retry_backoff_windows))
+                )
+                if held is not None:
+                    retries_next = retries_next.unionByName(held)
+                retries_next = retries_next.persist()
             _clock("due_build", t0)
 
             # ---- fetch (replayed corpus join) + parse -------------------
@@ -409,10 +454,15 @@ def run_crawl(
                                      "disp", c=F.col("n")))
                 .unionByName(_tagged(gated.agg(F.count("*").alias("n")),
                                      "gated", c=F.col("n")))
-            ).toPandas()
+            )
+            if retries_next is not None:
+                stats1 = stats1.unionByName(_tagged(
+                    retries_next.agg(F.count("*").alias("n")), "retry", c=F.col("n")))
+            stats1 = stats1.toPandas()
             item_counts: dict[tuple[int, int], int] = {}
             soe_rows: list[tuple[int, int, int, str]] = []
             n_disp = n_gated = 0
+            n_retry = 0
             for tag, a, b, c, s_ in zip(stats1["tag"], stats1["a"], stats1["b"],
                                         stats1["c"], stats1["s"]):
                 if tag == "item":
@@ -421,6 +471,8 @@ def run_crawl(
                     soe_rows.append((int(a), int(b), int(c), s_))
                 elif tag == "disp":
                     n_disp = int(c)
+                elif tag == "retry":
+                    n_retry = int(c)
                 else:
                     n_gated = int(c)
             if n_disp != n_gated:
@@ -444,8 +496,11 @@ def run_crawl(
                 ),
                 "seed_index int, page_limit int",
             )
-            masked = pregate.join(F.broadcast(limit_df), on="seed_index").filter(
-                F.col("page") <= F.col("page_limit")
+            # left join: retried rows from earlier windows (or stopped
+            # seeds) have no limit row — the window mask applies only to
+            # the current window's pages
+            masked = pregate.join(F.broadcast(limit_df), on="seed_index", how="left").filter(
+                F.col("page_limit").isNull() | (F.col("page") <= F.col("page_limit"))
             )
             # first occurrence among ACCEPTABLE rows only — the oracle claims a
             # URL on accept; a rejected earlier occurrence never blocks
@@ -552,7 +607,7 @@ def run_crawl(
             # user_agent from the hash family (Google_Crawler.py:57,152).
             frontier_log = (
                 dispatched.select("url_canon", "site", "seed_index", "page",
-                                  "next_fetch_after")
+                                  "attempt", "next_fetch_after")
                 .withColumn("user_agent", ua_expr(F.col("url_canon")))
                 .join(listings.select("url_canon", "http_status"), on="url_canon", how="left")
                 .withColumn(
@@ -569,6 +624,7 @@ def run_crawl(
             # frontier log lists every URL the engine fetched this window
             article_log = docs.select(
                 "url_canon", "site", "seed_index", "page",
+                F.lit(0).alias("attempt"),
                 F.lit(None).cast("timestamp").alias("next_fetch_after"),
                 ua_expr(F.col("url_canon")).alias("user_agent"),
                 F.lit("fetched").alias("status"),
@@ -603,6 +659,8 @@ def run_crawl(
             overwrite["seed_state"] = _seed_state_df(spark, seed_state)
             overwrite["frontier_pending"] = new_frontier
             overwrite["fuzzy_titles"] = new_fuzzy
+            if retries_next is not None:
+                overwrite["retry_pending"] = retries_next
             _clock("prep", t0)
 
             # ---- async snapshot commit (C6): wait for the previous
@@ -626,11 +684,15 @@ def run_crawl(
                     "metrics": metrics,
                 },
                 meta={"pages": [p0, p1],
-                      "active_seeds": sum(1 for s in seed_state if s["active"])},
+                      "active_seeds": sum(1 for s in seed_state if s["active"]),
+                      "retries_pending": n_retry},
             )
             _clock("commit_submit", t0)
 
             prev_unpersist = [docs, accepted, pregate, items, dispatched, frontier_mem]
+            if retry_mem is not None:
+                prev_unpersist.append(retry_mem)
+            retry_mem = retries_next
             seen_mem, fuzzy_mem, frontier_mem = new_seen, new_fuzzy, new_frontier
 
             res.batches += 1
@@ -652,6 +714,8 @@ def run_crawl(
             df.unpersist()
         if frontier_mem is not None:
             frontier_mem.unpersist()
+        if retry_mem is not None:
+            retry_mem.unpersist()
     return res
 
 
