@@ -107,6 +107,83 @@ def relevance_udf_fast_factory(include: list[str], exclude: list[str]):
     return relevance_fast
 
 
+def relevance_profile_fast_factory(include: list[str], exclude: list[str]):
+    r"""EXACT vectorized relevance for News_keyword.json-scale configs —
+    the crawl's large-config path (auto-selected by run_crawl past
+    ``relevance_udf_threshold`` keywords; tools/relevance_bench.py
+    measures the native HOF losing ~2.5× at 486/259 terms).
+
+    Exactness by construction (unlike a bare alternation regex, which
+    undercounts when one keyword matches inside another's span at the
+    same position):
+
+    * word-set semantics: Python set intersection of Unicode word tokens
+      (``\b\w+\b``) with the keyword set — exact and O(len(text)).
+    * substring semantics: one longest-first alternation scan collects
+      the unshadowed hits, then the (precomputed, usually tiny) set of
+      keywords that occur INSIDE another keyword is re-checked with
+      plain ``in`` — together exactly {k : k ⊆ text}.
+
+    Signature matches relevance_udf_factory: (text, variant, use_exclude,
+    min_include) -> bool. Site profiles mix variants per row.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    inc = [k.lower() for k in include]
+    exc = [k.lower() for k in exclude]
+    inc_set, exc_set = set(inc), set(exc)
+    word_re = re.compile(r"\b\w+\b")
+
+    def _alt(kws: list[str]):
+        if not kws:
+            return None, []
+        by_len = sorted(set(kws), key=len, reverse=True)
+        shadowed = [k for k in set(kws) if any(k != o and k in o for o in set(kws))]
+        return re.compile("|".join(re.escape(k) for k in by_len)), shadowed
+
+    inc_re, inc_shadowed = _alt(inc)
+    exc_re, exc_shadowed = _alt(exc)
+    n_inc_total, n_exc_total = len(inc_set), len(exc_set)
+
+    def _substr_hits(low: str, rx, shadowed) -> set:
+        if rx is None:
+            return set()
+        found = set(rx.findall(low))
+        for k in shadowed:
+            if k not in found and k in low:
+                found.add(k)
+        return found
+
+    @pandas_udf("boolean")
+    def relevance_fast(
+        text: pd.Series, variant: pd.Series, use_exclude: pd.Series, min_include: pd.Series
+    ) -> pd.Series:
+        out = []
+        for t, v, ue, mi in zip(text, variant, use_exclude, min_include):
+            low = (t or "").lower()
+            words = set(word_re.findall(low)) if v != "substring" else None
+            if v == "wordset":
+                n = len(words & inc_set) if n_inc_total else 0
+            else:  # substring / regex includes are substring semantics
+                n = len(_substr_hits(low, inc_re, inc_shadowed))
+            if ue and n_exc_total:
+                if v == "substring":
+                    excl = bool(_substr_hits(low, exc_re, exc_shadowed))
+                else:  # wordset + regex excludes are word-set semantics
+                    if words is None:
+                        words = set(word_re.findall(low))
+                    excl = bool(words & exc_set)
+                if excl:
+                    out.append(False)
+                    continue
+            out.append(n >= min(int(mi), n_inc_total))
+        return pd.Series(out)
+
+    return relevance_fast
+
+
 def relevance_udf_factory(include: list[str], exclude: list[str]):
     """Arrow/pandas UDF variant: vectorized pandas str.contains sweep with
     word-boundary regexes — the slot where an Aho-Corasick automaton goes

@@ -82,7 +82,11 @@ from pyspark.sql import functions as F
 
 from .. import config
 from ..config import BATCH_TS, profile_of
-from ..functions.relevance import keyword_arrays, relevance_expr
+from ..functions.relevance import (
+    keyword_arrays,
+    relevance_expr,
+    relevance_profile_fast_factory,
+)
 from ..functions.timeparse import batch_ts_lit, freshness_filter_expr, parse_time_expr
 from ..functions.urls import canonicalize_expr
 from ..operators import bloom, cuckoo
@@ -159,6 +163,7 @@ def run_crawl(
     fetch_broadcast_max: int = 4_000_000,
     max_retries: int = 0,
     retry_backoff_windows: int = 1,
+    relevance_udf_threshold: int = 64,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
     committing one snapshot per window; resumes from the store's last
@@ -247,8 +252,17 @@ def run_crawl(
               F.concat_ws(" ", F.col("title"), F.coalesce(F.col("d_summary"), F.lit(""))))
         .otherwise(F.col("title"))
     )
-    rel_ok = relevance_expr(match_text, F.col("relevance_variant"), F.col("use_exclude"),
-                            inc_arr, exc_arr, F.col("min_include"))
+    # relevance path: native HOFs carry small configs (JVM, codegen);
+    # past the threshold the EXACT vectorized Arrow UDF wins (~2.5× at
+    # News_keyword.json scale, tools/relevance_bench.py)
+    if len(include_keywords) + len(exclude_keywords) > relevance_udf_threshold:
+        rel_fast = relevance_profile_fast_factory(include_keywords, exclude_keywords)
+        rel_ok = rel_fast(match_text, F.col("relevance_variant"), F.col("use_exclude"),
+                          F.col("min_include"))
+    else:
+        rel_ok = relevance_expr(match_text, F.col("relevance_variant"),
+                                F.col("use_exclude"), inc_arr, exc_arr,
+                                F.col("min_include"))
     time_str_e = F.when(F.col("time_source") == "article", F.col("d_time_str")).otherwise(
         F.col("time_str"))
     ts_e = parse_time_expr(time_str_e, F.col("time_chain"), bts)

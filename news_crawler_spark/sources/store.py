@@ -120,16 +120,33 @@ class SnapshotStore:
         ``rollback``."""
         man = self.manifest()
         entry = man["tables"].get(name)
-        if not entry or entry.get("mode") != "append":
-            return None
-        version_of = {h["batch_id"]: h["version"] for h in man.get("history", [])}
-        if batch_id not in version_of:
-            return None
-        vmax = version_of[batch_id]
-        dirs = [d for d in entry["dirs"] if int(d.rsplit("/v", 1)[1]) <= vmax]
-        if not dirs:
-            return None
-        return spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+        if entry and entry.get("mode") == "append":
+            version_of = {h["batch_id"]: h["version"] for h in man.get("history", [])}
+            if batch_id not in version_of:
+                return None
+            vmax = version_of[batch_id]
+            dirs = [d for d in entry["dirs"] if int(d.rsplit("/v", 1)[1]) <= vmax]
+            if not dirs:
+                return None
+            return spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+        # overwrite tables: as-of read via the batch's history manifest,
+        # valid while its dirs survive the keep_versions GC window
+        for v in reversed(self._hist_versions()):
+            try:
+                with open(self._hist_path(v)) as f:
+                    hman = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            if hman.get("batch_id") != batch_id:
+                continue
+            hentry = hman["tables"].get(name)
+            if not hentry:
+                return None
+            paths = [os.path.join(self.root, d) for d in hentry["dirs"]]
+            if not paths or not all(os.path.isdir(p) for p in paths):
+                return None  # outside the rollback window (GC'd)
+            return spark.read.parquet(*paths)
+        return None
 
     # ------------------------------------------------------------ rollback
 

@@ -177,3 +177,53 @@ def test_crawl_parity_at_reference_keyword_scale(spark, tmp_path):
     assert eng == {k: [tuple(s) for s in v] for k, v in golden.docs.items()}
     order = [r.url_canon for r in sorted(rows, key=lambda r: r.crawl_order)]
     assert order == golden.order
+
+
+def test_relevance_profile_fast_exact_vs_native(spark):
+    """The large-config Arrow UDF must agree with the native HOF (and
+    therefore the reference model) on every variant — including shadowed
+    keywords (one keyword inside another) and Hangul."""
+    from news_crawler_spark.functions.relevance import (
+        keyword_arrays,
+        relevance_expr,
+        relevance_profile_fast_factory,
+    )
+
+    inc = ["경제", "경제학", "ai", "aid", "market", "market share", "수출"]
+    exc = ["광고", "광고주", "spam"]
+    texts = [
+        "경제학 성장 ai 분석",          # '경제' shadowed inside '경제학'
+        "market share 확대 aid 경제",
+        "수출 광고주 market",           # exclude shadowing
+        "ai ai ai",
+        "",
+        "경제 market spam",
+    ]
+    rows = [(t, v, ue, 2)
+            for t in texts
+            for v in ("substring", "wordset", "regex")
+            for ue in (True, False)]
+    df = spark.createDataFrame(
+        rows, "text string, variant string, use_exclude boolean, min_include int")
+    inc_a, exc_a = keyword_arrays(inc, exc)
+    native = relevance_expr(F.col("text"), F.col("variant"), F.col("use_exclude"),
+                            inc_a, exc_a, F.col("min_include"))
+    fast = relevance_profile_fast_factory(inc, exc)(
+        F.col("text"), F.col("variant"), F.col("use_exclude"), F.col("min_include"))
+    got = df.select(native.alias("n"), fast.alias("f")).collect()
+    for r in got:
+        assert r.n == r.f, rows[got.index(r)]
+
+
+def test_crawl_udf_relevance_path_parity(spark, world, golden, tmp_path):
+    """Forcing the crawl through the Arrow-UDF relevance path (threshold
+    0) reproduces the same parity result as the native path."""
+    from news_crawler_spark.plans.crawl import run_crawl
+    from news_crawler_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "udf_rel_store"))
+    run_crawl(spark, world, store, use_bloom=False, pages_per_batch=8,
+              relevance_udf_threshold=0)
+    rows = store.read(spark, "documents").collect()
+    eng = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans] for r in rows}
+    assert eng == {k: [tuple(s) for s in v] for k, v in golden.docs.items()}

@@ -94,4 +94,9 @@ def test_time_travel_append_tables(spark, world, tmp_path):
     live_b1 = store.read(spark, "documents").filter("batch_id <= 1").count()
     assert n1 == live_b1
     assert store.read_at_batch(spark, "documents", 999) is None
-    assert store.read_at_batch(spark, "seed_state", 1) is None  # overwrite table
+    # overwrite tables time-travel within the keep_versions window:
+    # seed_state as of batch 1 shows the seeds still active then
+    ss1 = store.read_at_batch(spark, "seed_state", 1)
+    assert ss1 is not None
+    live = store.read(spark, "seed_state")
+    assert ss1.filter("active").count() >= live.filter("active").count()

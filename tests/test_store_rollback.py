@@ -117,3 +117,15 @@ def test_ua_rotation_deterministic(spark):
     assert a == b  # bit-exact replay
     assert set(a) <= set(UA_POOL)
     assert len(set(a)) > 1  # actually rotates
+
+
+def test_read_at_batch_overwrite_tables(spark, tmp_store):
+    """Overwrite tables are as-of readable via history manifests while
+    inside the keep_versions window; outside it → None."""
+    store = SnapshotStore(tmp_store, keep_versions=2)
+    for b in range(1, 5):
+        store.commit(b, overwrite={"state": _mk(spark, [b] * b)})
+    at3 = store.read_at_batch(spark, "state", 3)
+    assert at3 is not None and [r.v for r in at3.collect()] == [3, 3, 3]
+    assert store.read_at_batch(spark, "state", 1) is None  # GC'd out of window
+    assert store.read_at_batch(spark, "missing_table", 3) is None
