@@ -475,6 +475,16 @@ def k01_keyword_flatten(spark, sf):
     return inc.unionByName(exc)
 
 
+def s01_session_windows(spark, sf):
+    """Gap-based session windows (30-min gap) in batch form — the
+    SQL-expressible twin of the streaming sessionizer; Spark
+    F.session_window vs DuckDB gaps-and-islands."""
+    from news_crawler_spark.streaming.stream import session_windows_batch
+
+    ev = _t(spark, sf, "events")
+    return session_windows_batch(ev.select("user_id", "ts"), "30 minutes")
+
+
 def m01_image_meta(spark, sf):
     """Multimodal plumbing (rows-only check): binary payload column →
     typed image metadata via mapInPandas stub decoder."""
@@ -554,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t02_quality": t02_quality,
         "t03_token_counts": t03_token_counts,
         "t04_fingerprint": t04_fingerprint,
+        "s01_session_windows": s01_session_windows,
         "m01_image_meta": m01_image_meta,
         "crawl_flagship": crawl_flagship,
     }
@@ -920,6 +931,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, cluster, vec_id, cos,
                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
             FROM scored QUALIFY rank <= 5
+        """,
+        "s01_session_windows": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "m01_image_meta": """
             WITH d AS (SELECT doc_id, sha256(md5(text)) AS dg FROM documents)

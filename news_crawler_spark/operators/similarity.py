@@ -41,10 +41,17 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per probe (self excluded), deterministic
-    tie-break on neighbor id. probes: (qid, qvec)."""
-    joined = vectors.crossJoin(F.broadcast(probes)).filter(F.col(id_col) != F.col("qid"))
+    tie-break on neighbor id. probes: (qid, qvec). Per-row norms are
+    computed ONCE per side and carried through the join — the per-pair
+    fold is just the dot product (round-1 VERDICT perf note); the cosine
+    value is bit-identical (same expressions over the same doubles)."""
+    v = vectors.withColumn("_n", norm_expr(F.col(vec_col)))
+    p = probes.withColumn("_qn", norm_expr(F.col("qvec")))
+    joined = v.crossJoin(F.broadcast(p)).filter(F.col(id_col) != F.col("qid"))
     scored = joined.select(
-        "qid", F.col(id_col), cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cos")
+        "qid", F.col(id_col),
+        F.round(dot_expr(F.col("qvec"), F.col(vec_col)) / (F.col("_qn") * F.col("_n")), 6)
+        .alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -144,7 +151,9 @@ def cosine_near_dup_pairs(
     the recall/cost dial for 100 TB corpora. None = exact all-pairs
     (test scale only).
     """
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "_n", norm_expr(F.col("v"))
+    )
     if n_buckets:
         import math
 
@@ -164,7 +173,8 @@ def cosine_near_dup_pairs(
         a.join(b, on=cond)
         .select(
             F.col("a.id").alias("a"), F.col("b.id").alias("b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos"),
+            F.round(dot_expr(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a._n") * F.col("b._n")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

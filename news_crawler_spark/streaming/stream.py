@@ -132,3 +132,25 @@ def crawl_foreach_batch(
         )
 
     return on_batch
+
+
+def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows in BATCH form via ``F.session_window`` —
+    the SQL-expressible twin of ``sessionize`` (same semantics Spark
+    applies in streaming mode), so the driver contract can oracle-check
+    session assignment against a DuckDB gaps-and-islands query (s01).
+
+    A new session starts when an event lands at or beyond
+    ``previous event + gap`` (Spark sessions span [start, last+gap)).
+    Output: one row per (user_id, session) with start/end/count.
+    """
+    return (
+        events.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
