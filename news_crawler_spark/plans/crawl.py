@@ -164,13 +164,26 @@ def run_crawl(
     max_retries: int = 0,
     retry_backoff_windows: int = 1,
     relevance_udf_threshold: int = 64,
+    robots_from_corpus: bool = False,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
     committing one snapshot per window; resumes from the store's last
     committed batch if one exists."""
-    corpus, seeds, robots = world["corpus"], world["seeds"], world["robots"]
+    corpus, seeds = world["corpus"], world["seeds"]
     listings = corpus.filter(F.col("page_kind") == "listing")
     articles = corpus.filter(F.col("page_kind") == "article")
+    if robots_from_corpus:
+        # C7 end-to-end: the robots dimension is PARSED from fetched
+        # robots.txt bytes in the replayed corpus (operators/robots.py
+        # native state machine), not handed in as a table
+        from ..operators.robots import parse_robots
+
+        rpages = corpus.filter(F.col("page_kind") == "robots").select(
+            F.parse_url(F.col("url_canon"), F.lit("HOST")).alias("host"), "content"
+        )
+        robots = parse_robots(rpages, default_delay_s=1.0).persist()
+    else:
+        robots = world["robots"]
     if include_keywords is None:
         include_keywords = config.INCLUDE_KEYWORDS
     if exclude_keywords is None:
@@ -730,6 +743,8 @@ def run_crawl(
             frontier_mem.unpersist()
         if retry_mem is not None:
             retry_mem.unpersist()
+        if robots_from_corpus:
+            robots.unpersist()
     return res
 
 

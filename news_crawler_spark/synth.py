@@ -630,6 +630,18 @@ def build_world(scale: float = 1.0, site_mult: int = 1) -> dict[str, list[dict]]
                     "fetch_latency_ms": 20 + H("lat2", site, art_id) % 400,
                 }
             )
+    for site in virtual_sites(site_mult):
+        corpus.append(
+            {
+                "url_canon": f"{origin_of(site)}/robots.txt",
+                "page_kind": "robots",
+                "site": site,
+                "content": robots_txt_content(site).encode(profile_of(site).charset),
+                "charset": profile_of(site).charset,
+                "http_status": 200,
+                "fetch_latency_ms": 10,
+            }
+        )
     robots = [
         {
             "host": host_of(site),
@@ -655,6 +667,7 @@ def build_corpus_spark(spark, scale: float, site_mult: int = 1):
         prof = profile_of(site)
         n_art = n_articles(site, sizes)
         npages = pages_per_seed(site, n_art)
+        tasks.append((site, "robots", 0, 0, 1))
         for s in range(prof.n_seeds):
             tasks.append((site, "listing", s, 1, npages + 1))
         step = 2000
@@ -672,7 +685,19 @@ def build_corpus_spark(spark, scale: float, site_mult: int = 1):
             for r in pdf.itertuples(index=False):
                 prof = profile_of(r.site)
                 n_art = n_articles(r.site, sizes_b)
-                if r.kind == "listing":
+                if r.kind == "robots":
+                    out.append(
+                        (
+                            f"{origin_of(r.site)}/robots.txt",
+                            "robots",
+                            r.site,
+                            robots_txt_content(r.site).encode(prof.charset),
+                            prof.charset,
+                            200,
+                            10,
+                        )
+                    )
+                elif r.kind == "listing":
                     for page in range(r.lo, r.hi):
                         out.append(
                             (
@@ -773,3 +798,28 @@ def make_keyword_config(n_include: int = 486, n_exclude: int = 259) -> dict:
                                         if i % len(EXCLUDE_CATEGORIES) == ci]}
         )
     return cfg
+
+
+# ----------------------------------------------------------- robots.txt
+
+def robots_txt_content(site: str) -> str:
+    """A realistic robots.txt for one (possibly virtual) site: the
+    star-group carries the profile's crawl delay and the /ad/ disallow
+    the scheduler must honor; other groups and comments are noise the
+    parser must ignore (C7 — the reference has no robots handling at
+    all; the engine fetches and parses these from the replayed corpus)."""
+    prof = profile_of(site)
+    h = H("robots", site)
+    lines = [f"# robots for {host_of(site)}"]
+    if h % 2 == 0:  # decoy group for a different UA
+        lines += ["User-agent: OtherBot", "Disallow: /", ""]
+    lines += [
+        "User-agent: *",
+        f"Crawl-delay: {prof.crawl_delay_s}",
+        f"Disallow: {DISALLOW_PREFIX}",
+    ]
+    if h % 3 == 0:
+        lines.append("Disallow:")  # empty = allow-all, must be dropped
+    if h % 5 == 0:
+        lines += ["", "User-agent: NoisyBot", "Crawl-delay: 99"]
+    return "\n".join(lines) + "\n"
