@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 from ..functions.timeparse import korean_date_key_expr
 
 
+def head_fields() -> list[F.Column]:
+    """Columns of a head-list row (public: the crawl loop maintains the
+    head list incrementally across windows)."""
+    return _article_fields() + [F.col("site"), F.col("ts"), F.col("crawl_order")]
+
+
 def _article_fields() -> list[F.Column]:
     """The reference's flat record {title, time, img, summary, url}
     projected from spans (record constructors, e.g.

@@ -98,6 +98,7 @@ from ..operators.scheduler import (
     schedule_gated,
     ua_expr,
 )
+from ..operators.archive import head_fields
 from ..operators.spans import build_spans
 from ..sources.store import SnapshotStore
 from ..sources.world import profiles_df
@@ -206,6 +207,9 @@ def run_crawl(
         fuzzy_mem = store.read(spark, "fuzzy_titles")
         if fuzzy_mem is not None:
             fuzzy_mem = fuzzy_mem.filter(F.col("seq") >= 0).persist()
+        head_mem = store.read(spark, "head_list")
+        if head_mem is not None:
+            head_mem = head_mem.persist()
         retry_mem = store.read(spark, "retry_pending")
         if retry_mem is not None:
             retry_mem = retry_mem.filter(F.col("seed_index") >= 0).persist()
@@ -224,6 +228,7 @@ def run_crawl(
             F.lit(1).alias("next_page"), "max_pages", F.lit("pending").alias("status"),
         ).persist()
         fuzzy_mem = None
+        head_mem = None
         seen_mem = None
         shard_rows = None
         retry_mem = None
@@ -683,6 +688,15 @@ def run_crawl(
                 METRICS_SCHEMA,
             ).unionByName(part_metrics)
 
+            # S9: the reference maintains a global 50-newest news.json
+            # every run (utils.js:18-23); the engine keeps it as an
+            # incrementally-merged 50-row overwrite table — new docs'
+            # top-k vs the previous head, never a full-table sort
+            win_head = docs.select(*head_fields())
+            new_head = (
+                head_mem.unionByName(win_head) if head_mem is not None else win_head
+            ).orderBy(F.desc("ts"), F.col("crawl_order")).limit(50).persist()
+            overwrite["head_list"] = new_head
             overwrite["seed_state"] = _seed_state_df(spark, seed_state)
             overwrite["frontier_pending"] = new_frontier
             overwrite["fuzzy_titles"] = new_fuzzy
@@ -719,6 +733,9 @@ def run_crawl(
             prev_unpersist = [docs, accepted, pregate, items, dispatched, frontier_mem]
             if retry_mem is not None:
                 prev_unpersist.append(retry_mem)
+            if head_mem is not None:
+                prev_unpersist.append(head_mem)
+            head_mem = new_head
             retry_mem = retries_next
             seen_mem, fuzzy_mem, frontier_mem = new_seen, new_fuzzy, new_frontier
 
@@ -743,6 +760,8 @@ def run_crawl(
             frontier_mem.unpersist()
         if retry_mem is not None:
             retry_mem.unpersist()
+        if head_mem is not None:
+            head_mem.unpersist()
         if robots_from_corpus:
             robots.unpersist()
     return res

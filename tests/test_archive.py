@@ -90,3 +90,22 @@ def test_scheduler_jitter_deterministic(spark):
     base = {r.url_canon: r.next_fetch_after
             for r in schedule(due, robots, batch_ts_lit(), 60.0).collect()}
     assert any(a[u] != base[u] for u in a)  # and actually jitters
+
+
+def test_crawl_maintains_incremental_head_list(spark, world, tmp_path):
+    """S9 in the loop: the per-window incrementally-merged head_list table
+    equals the batch top-50 over the final documents table."""
+    from pyspark.sql import functions as F
+
+    from news_crawler_spark.operators.archive import head_list
+    from news_crawler_spark.plans.crawl import run_crawl
+    from news_crawler_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "head_store"))
+    run_crawl(spark, world, store, use_bloom=False, pages_per_batch=2)
+    docs = store.read(spark, "documents")
+    expect = {(r.url, str(r.ts)) for r in head_list(docs, k=50).collect()}
+    got_rows = store.read(spark, "head_list").collect()
+    got = {(r.url, str(r.ts)) for r in got_rows}
+    assert len(got_rows) == min(50, docs.count())
+    assert got == expect
