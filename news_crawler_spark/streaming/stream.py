@@ -154,3 +154,55 @@ def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFra
             "n_events",
         )
     )
+
+
+DISPATCH_SCHEMA = "host string, url_canon string, dispatch_at timestamp, slot long"
+_TB_STATE = "next_free long, slot long"
+
+
+def _token_bucket_fn(key, pdfs, state: GroupState):
+    """Per-host politeness token bucket (C1 as a custom stateful
+    streaming operator): each dispatch is stamped max(arrival,
+    next_free); next_free advances by the host's crawl delay. State
+    (next_free, slot) persists across micro-batches, so politeness holds
+    ACROSS triggers — the property the batch scheduler gets from
+    `next_fetch_after` and a streaming deployment gets from here."""
+    if state.hasTimedOut:  # NoTimeout: never fires; keeps the shape total
+        state.remove()
+        return iter(())
+    rows = pd.concat(list(pdfs)).sort_values(["priority", "order_key"])
+    delay_ms = int(float(rows["crawl_delay_s"].iloc[0]) * 1000)
+    next_free, slot = state.get if state.exists else (0, 0)
+    ts_ms = rows["ts"].astype("int64") // 1_000_000
+    out_ts, out_slot = [], []
+    for t in ts_ms:
+        d = max(int(t), next_free)
+        out_ts.append(d)
+        out_slot.append(slot)
+        slot += 1
+        next_free = d + delay_ms
+    state.update((next_free, slot))
+    pdf = pd.DataFrame({
+        "host": key[0],
+        "url_canon": rows["url_canon"].values,
+        "dispatch_at": pd.to_datetime(out_ts, unit="ms"),
+        "slot": out_slot,
+    })
+    return iter([pdf])
+
+
+def politeness_token_bucket(due: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming per-host politeness: due(host, url_canon, ts, priority,
+    order_key, crawl_delay_s) → dispatch schedule, state carried across
+    micro-batches via applyInPandasWithState."""
+    return (
+        due.withWatermark("ts", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            _token_bucket_fn,
+            outputStructType=DISPATCH_SCHEMA,
+            stateStructType=_TB_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -110,3 +110,60 @@ def test_crawl_foreach_batch_resumable(spark, world, tmp_path):
     a = {r.doc_id for r in store.read(spark, "documents").collect()}
     b = {r.doc_id for r in ref_store.read(spark, "documents").collect()}
     assert a == b
+
+
+def test_politeness_token_bucket_state_across_triggers(spark, tmp_path):
+    """C1 as a custom stateful streaming operator: per-host dispatch gaps
+    honor crawl_delay WITHIN a trigger and ACROSS triggers (state carries
+    next_free), matching a sequential replay exactly."""
+    import os
+
+    from news_crawler_spark.streaming.stream import politeness_token_bucket
+
+    base = "2025-06-14 12:00:00"
+    rows = []
+    for trig in range(2):
+        for host, delay in (("a.com", 2.0), ("b.com", 1.0)):
+            for i in range(3):
+                rows.append((host, f"https://{host}/p/{trig}/{i}",
+                             base, trig, trig * 10 + i, delay))
+    schema = ("host string, url_canon string, ts_s string, trig int, "
+              "order_key long, crawl_delay_s double")
+    d = tmp_path / "due_in"
+    os.makedirs(d, exist_ok=True)
+    for trig in range(2):
+        spark.createDataFrame([r for r in rows if r[3] == trig], schema) \
+            .selectExpr("host", "url_canon", "cast(ts_s as timestamp) ts",
+                        "0 as priority", "order_key", "crawl_delay_s") \
+            .coalesce(1).write.mode("overwrite").parquet(str(d / f"stage{trig}"))
+        part = [f for f in os.listdir(d / f"stage{trig}") if f.endswith(".parquet")][0]
+        os.makedirs(d / "in", exist_ok=True)
+        import shutil as _sh
+        _sh.copy(str(d / f"stage{trig}" / part), str(d / "in" / f"{trig:03d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "host string, url_canon string, ts timestamp, priority int, "
+            "order_key long, crawl_delay_s double")
+        .option("maxFilesPerTrigger", 1).parquet(str(d / "in"))
+    )
+    q = (
+        politeness_token_bucket(stream).writeStream.outputMode("append")
+        .format("memory").queryName("tb")
+        .option("checkpointLocation", str(tmp_path / "ck_tb"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from tb").collect()
+    assert len(got) == 12
+    for host, delay in (("a.com", 2.0), ("b.com", 1.0)):
+        hs = sorted([r for r in got if r.host == host], key=lambda r: r.slot)
+        assert [r.slot for r in hs] == list(range(6))
+        times = [r.dispatch_at.timestamp() for r in hs]
+        # politeness gap holds across ALL 6 dispatches incl. the trigger
+        # boundary (slots 2→3)
+        for a, b in zip(times, times[1:]):
+            assert b - a >= delay - 1e-6
+        # deterministic sequential replay: slot k at base + k*delay
+        t0 = times[0]
+        assert times == [t0 + k * delay for k in range(6)]
