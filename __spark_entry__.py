@@ -475,6 +475,28 @@ def k01_keyword_flatten(spark, sf):
     return inc.unionByName(exc)
 
 
+def c01_curation_pipeline(spark, sf):
+    """Training-data curation composition: exact-dedup to one
+    representative per fingerprint → language-identified gate → quality
+    floor — the chain a 100 TB corpus pass runs after the
+    crawl, composed from the engine's own operators."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text", "lang",
+        fingerprint_expr(F.col("text")).alias("fp"),
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("lang_pred") != "und")
+                & (F.col("quality") >= 0.4))
+        .select("doc_id", "fp", "lang", F.col("quality"))
+    )
+
+
 def s01_session_windows(spark, sf):
     """Gap-based session windows (30-min gap) in batch form — the
     SQL-expressible twin of the streaming sessionizer; Spark
@@ -564,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t02_quality": t02_quality,
         "t03_token_counts": t03_token_counts,
         "t04_fingerprint": t04_fingerprint,
+        "c01_curation_pipeline": c01_curation_pipeline,
         "s01_session_windows": s01_session_windows,
         "m01_image_meta": m01_image_meta,
         "crawl_flagship": crawl_flagship,
@@ -931,6 +954,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, cluster, vec_id, cos,
                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
             FROM scored QUALIFY rank <= 5
+        """,
+        "c01_curation_pipeline": f"""
+            WITH t AS (SELECT doc_id, text, lang, {_UW} AS toks,
+                              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                       FROM documents),
+            h AS (SELECT doc_id, text, lang, fp,
+                         {_LANG_HITS['de']} AS h_de, {_LANG_HITS['en']} AS h_en,
+                         {_LANG_HITS['es']} AS h_es, {_LANG_HITS['fr']} AS h_fr
+                  FROM t),
+            p AS (SELECT doc_id, lang, fp,
+                         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                              ELSE 'fr' END AS lang_pred,
+                         round((least(len({_WS_RAW})::DOUBLE / 200.0, 1.0)
+                                + len({_WS})::DOUBLE / len({_WS_RAW})) / 2.0, 6) AS quality,
+                         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                  FROM h)
+            SELECT doc_id, fp, lang, quality FROM p
+            WHERE rn = 1 AND lang_pred <> 'und' AND quality >= 0.4
         """,
         "s01_session_windows": """
             WITH o AS (
