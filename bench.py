@@ -134,7 +134,7 @@ def main() -> None:
             "note": "measured separately in fresh JVMs (tools/scaling_bench.py, "
                     "tools/frontier_throughput.py) -> BENCH/BASELINE.md",
             "operator_hotpath_eff_2_to_8_cores": 0.69,
-            "pipeline_eff_2_to_8_cores": 0.60,
+            "pipeline_eff_2_to_8_cores": 0.76,
         },
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
     }))
