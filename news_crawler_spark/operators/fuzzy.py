@@ -21,14 +21,49 @@ relax to MinHash-LSH similarity join (operators/textdedup.py) — SURVEY
 
 from __future__ import annotations
 
-import difflib
 import re
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FUZZY_THRESHOLD = 60.0  # reference_model.FUZZY_THRESHOLD (Google_Crawler.py:62 spirit)
+# Google_Crawler.py:58-63 gates on fuzz.ratio >= 35 over squashed
+# lowercase titles. fuzz.ratio is normalized INDEL similarity:
+# 100 * (la + lb - indel_distance) / (la + lb), with
+# indel_distance = la + lb - 2 * LCS(a, b) — NOT difflib's
+# SequenceMatcher (whose junk heuristics and contiguous-block recursion
+# under-count matches). Implemented from the public definition; no
+# dependency needed.
+FUZZY_THRESHOLD = 35.0  # Google_Crawler.py:62
+
+
+def indel_ratio(a: str, b: str) -> float:
+    """fuzz.ratio semantics: 100 * (1 - indel_dist / (len(a)+len(b))).
+
+    LCS length via the standard two-row DP — titles are short (tens of
+    chars), so O(la*lb) per pair is fine in the per-site replay loop.
+    """
+    la, lb = len(a), len(b)
+    if la + lb == 0:
+        return 100.0
+    if la == 0 or lb == 0:
+        return 0.0
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    prev = [0] * (lb + 1)
+    for ca in a:
+        cur = [0]
+        p0 = prev[0]
+        for j, cb in enumerate(b, 1):
+            if ca == cb:
+                cur.append(prev[j - 1] + 1)
+            else:
+                pj = prev[j]
+                c0 = cur[j - 1]
+                cur.append(pj if pj >= c0 else c0)
+        prev = cur
+    lcs = prev[lb]
+    return 100.0 * (2.0 * lcs) / (la + lb)
 
 _GATE_SCHEMA = (
     "site string, order_key long, url_canon string, title string, "
@@ -73,10 +108,7 @@ def fuzzy_gate(candidates: DataFrame, prior: DataFrame | None) -> DataFrame:
                 ok.append(True)
                 continue
             n = _norm(title)
-            dup = any(
-                difflib.SequenceMatcher(None, n, p).ratio() * 100 >= FUZZY_THRESHOLD
-                for p in acc
-            )
+            dup = any(indel_ratio(n, p) >= FUZZY_THRESHOLD for p in acc)
             ok.append(not dup)
             if not dup:
                 acc.append(n)

@@ -21,7 +21,6 @@ implementations of the same semantics.
 from __future__ import annotations
 
 import datetime as dt
-import difflib
 import hashlib
 import re
 from dataclasses import dataclass, field
@@ -36,7 +35,29 @@ from .config import (
 from .synth import DISALLOW_PREFIX
 
 TRACKING_PARAMS = ("utm_", "ref")
-FUZZY_THRESHOLD = 60.0
+FUZZY_THRESHOLD = 35.0  # Google_Crawler.py:62 — fuzz.ratio >= 35
+
+
+def _fuzz_ratio(a: str, b: str) -> float:
+    """fuzz.ratio = normalized indel similarity (Google_Crawler.py:58-63
+    gates with rapidfuzz/fuzzywuzzy ratio). Computed here as a direct
+    insertion/deletion edit-distance DP — deliberately a different
+    formulation from the engine's LCS-based one (operators/fuzzy.py) so
+    the parity tests compare independent implementations."""
+    la, lb = len(a), len(b)
+    if la + lb == 0:
+        return 100.0
+    prev = list(range(lb + 1))  # dist(a[:0], b[:j]) = j inserts
+    for i in range(1, la + 1):
+        cur = [i]
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            if ca == b[j - 1]:
+                cur.append(prev[j - 1])
+            else:
+                cur.append(1 + min(prev[j], cur[j - 1]))  # delete / insert
+        prev = cur
+    return 100.0 * (1.0 - prev[lb] / (la + lb))
 
 
 def doc_id_of(url_canon: str) -> str:
@@ -470,7 +491,7 @@ def _process_item(it, seed, prof: SiteProfile, corpus, batch_ts, g: GoldenRun, f
         norm = re.sub(r"\s+", "", it["title"].lower())
         acc = fuzzy_accepted.setdefault(site, [])
         for prev in acc:
-            if difflib.SequenceMatcher(None, norm, prev).ratio() * 100 >= FUZZY_THRESHOLD:
+            if _fuzz_ratio(norm, prev) >= FUZZY_THRESHOLD:
                 return False
         acc.append(norm)
 

@@ -152,3 +152,38 @@ def test_canonicalize_edge_cases(spark):
         exp = oracle(r.href)
         assert r.native == exp, (r.href, r.native, exp)
         assert r.viaudf == exp, (r.href, r.viaudf, exp)
+
+
+# ---------------------------------------------------------------- D4 fuzz.ratio
+
+def test_indel_ratio_pins_fuzz_ratio_values():
+    """Pin fuzz.ratio semantics (Google_Crawler.py:58-63): normalized
+    indel similarity, NOT difflib.SequenceMatcher. Values verified
+    against published rapidfuzz fuzz.ratio outputs."""
+    from news_crawler_spark.operators.fuzzy import indel_ratio
+
+    assert indel_ratio("abcd", "bcde") == 75.0           # LCS=3 → (8-2)/8
+    assert indel_ratio("", "") == 100.0
+    assert indel_ratio("abc", "") == 0.0
+    assert indel_ratio("kitten", "kitten") == 100.0
+    assert round(indel_ratio("this is a test", "this is a test!"), 2) == 96.55
+    assert round(indel_ratio("hello world", "world hello"), 2) == 45.45  # LCS=5
+    # SequenceMatcher would give a DIFFERENT number here (contiguous-block
+    # recursion under-counts): the indel/LCS formulation is the pinned one
+    assert round(indel_ratio("abcbdab", "bdcaba"), 4) == round(200 * 4 / 13, 4)
+
+
+def test_engine_and_model_fuzz_ratio_agree():
+    """Two independent implementations (LCS DP vs insert/delete DP) of
+    the same public definition must agree exactly."""
+    import random
+
+    from news_crawler_spark.operators.fuzzy import indel_ratio
+    from news_crawler_spark.reference_model import _fuzz_ratio
+
+    rng = random.Random(7)
+    alpha = "ab가나 x"
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        assert abs(indel_ratio(a, b) - _fuzz_ratio(a, b)) < 1e-9, (a, b)
