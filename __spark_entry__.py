@@ -37,6 +37,8 @@ from news_crawler_spark.operators.similarity import (
     cosine_near_dup_pairs,
     ivf_assign,
     ivf_topk,
+    sign_lsh_near_dup_pairs,
+    sign_lsh_planes,
 )
 from news_crawler_spark.operators.spans import build_spans
 from news_crawler_spark.operators.textdedup import (
@@ -305,10 +307,12 @@ def d05_simhash_pairs(spark, sf):
 
 
 def d04_ngram_jaccard(spark, sf):
-    """Exact word-set Jaccard near-dups, lang-blocked, threshold 0.95."""
+    """Exact word-set Jaccard near-dups verified at 0.95, candidates
+    from d02's shingle-MinHash bands (8 hashes, 2 bands × 4) — never
+    all-pairs within a coarse attribute."""
     d = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(
-        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"),
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
         threshold=0.95,
     )
 
@@ -342,11 +346,16 @@ def e02_cosine_near_dup(spark, sf):
 
 
 def e04_sign_lsh_near_dup(spark, sf):
-    """Sign-LSH bucketed near-dup pairs: candidates must agree on the
-    sign pattern of the leading 2 dims (4 buckets) — the recall/cost
-    dial; cosine ≥ 0.35 verified exactly within buckets."""
+    """Banded sign-LSH near-dup pairs: 2 seeded random hyperplanes × 8
+    tables (round-3: replaces the fixed-2-dim/4-bucket arm), exact
+    cosine ≥ 0.4 verified within buckets. Shallow-wide B/T because this
+    corpus's near-dups sit at cos 0.35-0.51 (see operator docstring for
+    the regime math); recall vs the exact e02 pairs is pinned ≥ 0.9 in
+    tests/test_textops.py."""
     em = _t(spark, sf, "embeddings")
-    return cosine_near_dup_pairs(em, threshold=0.35, n_buckets=4).select("a", "b", "cos")
+    return sign_lsh_near_dup_pairs(
+        em, dim=64, threshold=0.4, n_bits=2, n_tables=8
+    ).select("a", "b", "cos")
 
 
 def e03_ivf_ann(spark, sf):
@@ -621,6 +630,31 @@ _NORM_B = (
 )
 _COS = f"round({_DOT} / ({_NORM_A} * {_NORM_B}), 6)"
 
+
+def _sign_lsh_banded_sql(dim: int, n_bits: int, n_tables: int, seed: int) -> str:
+    """(vec_id, embedding, t, bkt) rows for every LSH table — generated
+    from the SAME seeded plane generator the engine uses
+    (similarity.sign_lsh_planes), so the banding is bit-identical."""
+    planes = sign_lsh_planes(dim, n_bits, n_tables, seed)
+    selects = []
+    for t in range(n_tables):
+        terms = []
+        for tt, b, signs in planes:
+            if tt != t:
+                continue
+            arr = "[" + ",".join(str(s) for s in signs) + "]"
+            terms.append(
+                f"(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}), i -> "
+                f"embedding[i]::DOUBLE * ({arr})[i]), (x, y) -> x + y) >= 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, embedding, {t} AS t, "
+            + " + ".join(terms)
+            + " AS bkt FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
 _REL_SUB = (
     "((CASE WHEN contains(lower(text),'spark') THEN 1 ELSE 0 END + "
     "CASE WHEN contains(lower(text),'query') THEN 1 ELSE 0 END + "
@@ -863,13 +897,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE hamming <= 8
         """,
         "d04_ngram_jaccard": f"""
-            WITH w AS (SELECT doc_id AS id, lang AS blk, {_UW} AS ws FROM documents)
-            SELECT * FROM (
-              SELECT a.id AS a, b.id AS b,
-                     round(len(list_intersect(a.ws, b.ws))::DOUBLE /
-                           len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jac
-              FROM w a JOIN w b ON a.blk = b.blk AND a.id < b.id)
-            WHERE jac >= 0.95
+            WITH toks AS (SELECT doc_id AS id,
+                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+            shg AS (SELECT id,
+                           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                                ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                           END AS ws
+                    FROM toks),
+            uw AS (SELECT doc_id AS id, {_UW} AS uws FROM documents),
+            s AS (SELECT shg.id, uw.uws, [{_MINHASH_SIG}] AS sig
+                  FROM shg JOIN uw ON shg.id = uw.id),
+            b AS (SELECT id, uws, t.band_id,
+                         md5(sig[4*t.band_id + 1] || '|' || sig[4*t.band_id + 2] || '|' ||
+                             sig[4*t.band_id + 3] || '|' || sig[4*t.band_id + 4]) AS band_hash
+                  FROM s, unnest([0,1]) AS t(band_id)),
+            cand AS (
+              SELECT DISTINCT l.id AS a, r.id AS b,
+                     round(len(list_intersect(l.uws, r.uws))::DOUBLE /
+                           len(list_distinct(list_concat(l.uws, r.uws))), 6) AS jac
+              FROM b l JOIN b r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.id < r.id)
+            SELECT a, b, jac FROM cand WHERE jac >= 0.95
         """,
         "e01_cosine_topk": f"""
             SELECT qid, vec_id, cos, rank FROM (
@@ -887,14 +938,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE cos >= 0.4
         """,
         "e04_sign_lsh_near_dup": f"""
-            WITH v AS (SELECT vec_id, embedding,
-                              2 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-                              + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS bkt
-                       FROM embeddings)
-            SELECT * FROM (
-              SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cos
-              FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
-            WHERE cos >= 0.35
+            WITH v AS ({_sign_lsh_banded_sql(dim=64, n_bits=2, n_tables=8, seed=7)})
+            SELECT a, b, cos FROM (
+              SELECT DISTINCT a.vec_id AS a, b.vec_id AS b, {_COS} AS cos
+              FROM v a JOIN v b
+                ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+            WHERE cos >= 0.4
         """,
         "e03_ivf_ann": f"""
             WITH assign AS (

@@ -47,6 +47,9 @@ def _article_fields() -> list[F.Column]:
         F.when(F.size(summary_arr) > 0, F.element_at(summary_arr, 1)["text"])
         .otherwise(F.lit("")).alias("summary"),
         F.col("url_canon").alias("url"),
+        # raw pre-canonical href, kept next to the canonical key
+        # (Nate_Crawler.py:126-132, Google_Crawler.py:248-254)
+        F.col("original_url"),
     ]
 
 

@@ -142,39 +142,110 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs (a < b, cosine ≥ threshold).
-
-    With ``n_buckets``: sign-LSH blocking on the leading components
-    (pairs must agree on the signs of the first ⌈log2 buckets⌉ dims) —
-    the recall/cost dial for 100 TB corpora. None = exact all-pairs
-    (test scale only).
-    """
+    """EXACT embedding near-dup pairs (a < b, cosine ≥ threshold) —
+    all-pairs by construction: the verifier/baseline arm (e02), for test
+    scale and for recall-grading the bucketed arms. The scale defaults
+    are ``sign_lsh_near_dup_pairs`` (high-threshold regimes) and the IVF
+    family (low-threshold regimes)."""
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "_n", norm_expr(F.col("v"))
     )
-    if n_buckets:
-        import math
-
-        nbits = max(1, int(math.log2(n_buckets)))
-        sig = F.aggregate(
-            F.sequence(F.lit(1), F.lit(nbits)),
-            F.lit(0),
-            lambda acc, i: acc * 2
-            + F.when(F.element_at(F.col("v"), i) >= 0, F.lit(1)).otherwise(F.lit(0)),
-        )
-        v = v.withColumn("bkt", sig)
-        cond = [F.col("a.bkt") == F.col("b.bkt"), F.col("a.id") < F.col("b.id")]
-    else:
-        cond = [F.col("a.id") < F.col("b.id")]
     a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, on=cond)
+        a.join(b, on=[F.col("a.id") < F.col("b.id")])
         .select(
             F.col("a.id").alias("a"), F.col("b.id").alias("b"),
             F.round(dot_expr(F.col("a.v"), F.col("b.v"))
                     / (F.col("a._n") * F.col("b._n")), 6).alias("cos"),
         )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def sign_lsh_planes(
+    dim: int, n_bits: int, n_tables: int, seed: int = 7
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic ±1 (Rademacher) hyperplanes from md5 — the same
+    generator builds the engine expressions AND the DuckDB oracle SQL
+    literals, so the banding is seeded and oracle-reproducible. Returns
+    flat [(table, bit, signs[dim])]."""
+    import hashlib
+
+    out = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            signs = [
+                1.0
+                if int(hashlib.md5(f"{seed}:{t}:{b}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1.0
+                for d in range(dim)
+            ]
+            out.append((t, b, signs))
+    return out
+
+
+def sign_lsh_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_bits: int = 2,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs: B random hyperplanes × T tables
+    (round-2 VERDICT: the old 2-fixed-dim/4-bucket arm pruned and
+    recalled crudely). A pair is a candidate when it agrees on all B
+    sign bits in SOME table; candidates verify at exact cosine ≥
+    ``threshold``.
+
+    Recall math (choose B/T per regime): P(bit agrees) = 1 − θ/π with
+    θ = arccos(cos). Recall = 1 − (1 − p^B)^T. High-threshold dedup
+    (cos ≥ 0.9, p ≈ 0.86) affords deep tables (B=8) with strong
+    pruning; low thresholds (cos ≈ 0.4, p ≈ 0.64) separate barely from
+    the p=0.5 background, so only shallow-wide (B=2, T=8 → recall ≈
+    0.99) reaches recall ≥ 0.9 and pruning is weak — that regime's scale
+    arm is IVF cluster blocking (ivf_topk/ivf_topk_nprobe), which prunes
+    on magnitude structure instead of random projections.
+
+    Join shape: explode T (table, bucket) keys per vector → equi-join
+    per (table, bucket) — never all-pairs; pair dedup before the verify.
+    """
+    planes = sign_lsh_planes(dim, n_bits, n_tables, seed)
+
+    def plane_dot(signs: list[float]) -> Column:
+        lit = F.array(*[F.lit(s) for s in signs])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    tables = []
+    for t in range(n_tables):
+        bkt: Column = F.lit(0)
+        for tt, b, signs in planes:
+            if tt == t:
+                bkt = bkt + F.when(plane_dot(signs) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        tables.append(F.struct(F.lit(t).alias("t"), bkt.alias("bkt")))
+
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "_n", norm_expr(F.col("v"))
+    )
+    banded = v.select(
+        "id", "v", "_n", F.explode(F.array(*tables)).alias("tb")
+    ).select("id", "v", "_n", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.t") == F.col("b.t"), F.col("a.bkt") == F.col("b.bkt"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.round(dot_expr(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a._n") * F.col("b._n")), 6).alias("cos"),
+        )
+        .dropDuplicates(["a", "b"])
         .filter(F.col("cos") >= threshold)
     )

@@ -104,13 +104,22 @@ def minhash_lsh_pairs(
     selective on topically-homogeneous corpora — unigram word sets of
     same-domain documents collide massively and the bucket join goes
     quadratic."""
-    n_bands = n_hashes // band_size
     sh = shingles_expr(F.col(text_col), shingle_n)
     sigs = docs.select(
         F.col(id_col).alias("id"),
         sh.alias("ws"),
         minhash_signature_expr(sh, n_hashes).alias("sig"),
     )
+    return banded_pairs(sigs, n_hashes // band_size, band_size).filter(
+        F.col("jac") >= verify_jaccard
+    )
+
+
+def banded_buckets(sigs: DataFrame, n_bands: int, band_size: int) -> DataFrame:
+    """Explode (id, ws, sig) into LSH band buckets and collect each
+    bucket's members: (band_id, band_hash, ms=[{id, ws}...]), buckets of
+    size ≥ 2 only. Shared by the shingle-LSH (d02) and word-set-Jaccard
+    (d04) arms — and by the bucket-size diagnostics tests."""
     banded = sigs.select(
         "id",
         "ws",
@@ -128,16 +137,21 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", "ws", "band.band_id", "band.band_hash")
-    # ONE pass: group each LSH bucket and emit its (i<j) pairs natively —
-    # no self-join, so the (shingle → md5-fold) subtree evaluates once per
-    # band and nothing needs persist (round-1 ADVICE: the old self-join
-    # persist leaked cached blocks across invocations). Bucket sizes are
-    # small by LSH construction; the nested transform is bounded by them.
-    buckets = (
+    return (
         banded.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list(F.struct("id", "ws"))).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
+
+
+def banded_pairs(sigs: DataFrame, n_bands: int, band_size: int) -> DataFrame:
+    """ONE pass: group each LSH bucket and emit its (i<j) pairs natively —
+    no self-join, so the (set → md5-fold) subtree evaluates once per band
+    and nothing needs persist (round-1 ADVICE: the old self-join persist
+    leaked cached blocks across invocations). Bucket sizes are small by
+    LSH construction; the nested transform is bounded by them. Output:
+    (a, b, jac) with exact set Jaccard, deduped across bands."""
+    buckets = banded_buckets(sigs, n_bands, band_size)
     n = F.size(F.col("ms"))
     pair_structs = F.flatten(
         F.transform(
@@ -155,12 +169,11 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    cand = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.a", "p.b", "p.jac")
         .dropDuplicates(["a", "b"])
     )
-    return cand.filter(F.col("jac") >= verify_jaccard)
 
 
 # ------------------------------------------------------------------ simhash
@@ -287,22 +300,33 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str = "lang",
     threshold: float = 0.95,
+    n_hashes: int = 8,
+    band_size: int = 4,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact word-set Jaccard over pairs blocked by ``block_col`` —
-    the verifier pattern (blocking bounds the quadratic blowup)."""
-    w = docs.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+    """Exact word-set Jaccard VERIFIER over shingle-MinHash-band-blocked
+    candidate pairs — d02's banding reused with a different verifier.
+
+    Round-2 VERDICT: blocking on a coarse attribute (lang) is all-pairs
+    within each block — quadratic inside one language at 100 TB. Here
+    candidates come from the same 3-gram-shingle MinHash bands as
+    ``minhash_lsh_pairs`` (bucket sizes bounded by true shingle
+    similarity — max 3 at driver-testdata scale vs 300+ for an attribute
+    block), and the verifier is exact unigram word-set Jaccard.
+
+    Contract/recall trade, stated: a pair must BOTH collide on a shingle
+    band AND verify at word-set Jaccard ≥ ``threshold``. Reordering-only
+    near-dups (identical word sets, different word order) have low
+    shingle similarity and are intentionally out of scope here — that
+    phenomenon is what SimHash over word sets (d03/d05/d06) catches,
+    order-insensitively, with bounded hamming buckets."""
+    sh = shingles_expr(F.col(text_col), shingle_n)
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
         word_set_expr(F.col(text_col)).alias("ws"),
+        minhash_signature_expr(sh, n_hashes).alias("sig"),
     )
-    a, b = w.alias("a"), w.alias("b")
-    return (
-        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
-        .select(
-            F.col("a.id").alias("a"),
-            F.col("b.id").alias("b"),
-            jaccard_expr(F.col("a.ws"), F.col("b.ws")).alias("jac"),
-        )
-        .filter(F.col("jac") >= threshold)
+    return banded_pairs(sigs, n_hashes // band_size, band_size).filter(
+        F.col("jac") >= threshold
     )

@@ -71,6 +71,7 @@ page_kind partition column.
 
 from __future__ import annotations
 
+import hashlib
 import time
 from collections import Counter, defaultdict
 
@@ -100,6 +101,7 @@ from ..operators.scheduler import (
 )
 from ..operators.archive import head_fields
 from ..operators.spans import build_spans
+from ..sources.bucketed import compact_seen_bucketed
 from ..sources.store import SnapshotStore
 from ..sources.world import profiles_df
 
@@ -123,6 +125,9 @@ class CrawlResult:
     accepted: int = 0
     frontier_rows: int = 0
     per_batch: list = field(default_factory=list)
+    compactions: int = 0       # seen/fuzzy state folds (compact_every)
+    max_union_depth: int = 0   # peak # of uncompacted seen deltas
+    seen_table: str | None = None  # bucketed seen catalog table, if enabled
 
 
 class InjectedFailure(RuntimeError):
@@ -166,10 +171,24 @@ def run_crawl(
     retry_backoff_windows: int = 1,
     relevance_udf_threshold: int = 64,
     robots_from_corpus: bool = False,
+    compact_every: int | None = None,
+    seen_buckets: int = 64,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
     committing one snapshot per window; resumes from the store's last
-    committed batch if one exists."""
+    committed batch if one exists.
+
+    ``compact_every=N`` bounds the cross-window seen/fuzzy state: every N
+    windows the seen-delta union chain folds into a bucketed catalog
+    table (sources/bucketed.py) and ``seen_mem`` re-points at that single
+    pre-bucketed scan, so the per-window anti-join shuffles only the
+    candidate side and the analyzer never walks a W-way union; the fuzzy
+    title chain collapses to one localCheckpoint. The bucketed table is a
+    RUN-LOCAL layout artifact — dropped and rebuilt from the committed
+    ``seen`` deltas on every (re)start, so crash replay and rollback can
+    never observe URLs that were compacted but not committed (production
+    target: an Iceberg table whose bucket layout is versioned with the
+    snapshot, making the fold itself atomic)."""
     corpus, seeds = world["corpus"], world["seeds"]
     listings = corpus.filter(F.col("page_kind") == "listing")
     articles = corpus.filter(F.col("page_kind") == "article")
@@ -299,10 +318,22 @@ def run_crawl(
     pages_cap_e = F.when(F.col("max_pages") > 0, F.col("max_pages")).otherwise(F.lit(1 << 30))
 
     n_retry = retry_mem.count() if retry_mem is not None else 0
+    seen_table: str | None = None
+    if compact_every:
+        seen_table = "seen_bucketed_" + hashlib.md5(
+            store.root.encode()).hexdigest()[:10]
+        # run-local artifact: always rebuilt from committed seen deltas
+        spark.sql(f"DROP TABLE IF EXISTS {seen_table}")
+        res.seen_table = seen_table
     res.prelude_s = time.time() - _t_prelude
     batch = max(store.last_batch_id, 0)  # fresh store: no init snapshot
     prev_unpersist: list[DataFrame] = []
-    retained: list[DataFrame] = []
+    seen_chain: list[DataFrame] = []   # persisted seen deltas not yet folded
+    fuzzy_chain: list[DataFrame] = []  # persisted fuzzy deltas not yet folded
+    if fuzzy_mem is not None:
+        fuzzy_chain.append(fuzzy_mem)  # resume base: released on first fold
+    fuzzy_ckpt: DataFrame | None = None
+    since_compact = 0
     try:
         while batch < max_batches:
             _t_win = time.time()
@@ -321,6 +352,33 @@ def run_crawl(
             active = [s for s in seed_state if s["active"]]
             if not active and n_retry == 0:
                 break
+
+            # ---- periodic state compaction (bounds the cross-window
+            # union chains; VERDICT r2 structural item). Fold-all is
+            # idempotent, so the resume base and any prior table content
+            # fold in for free. wait_commit first: the in-flight commit's
+            # fuzzy_titles write reads the chain being collapsed. --------
+            if seen_table and since_compact >= compact_every and seen_mem is not None:
+                t0 = time.time()
+                store.wait_commit()
+                compact_seen_bucketed(spark, seen_mem, seen_table,
+                                      n_buckets=seen_buckets)
+                for df in seen_chain:
+                    df.unpersist()
+                seen_chain = []
+                seen_mem = spark.table(seen_table)
+                if fuzzy_mem is not None:
+                    new_ckpt = fuzzy_mem.localCheckpoint()  # eager: copies
+                    # the chain's data before the sources are released
+                    for df in fuzzy_chain:
+                        df.unpersist()
+                    if fuzzy_ckpt is not None:
+                        fuzzy_ckpt.unpersist()
+                    fuzzy_chain = []
+                    fuzzy_ckpt = fuzzy_mem = new_ckpt
+                since_compact = 0
+                res.compactions += 1
+                _clock("compact", t0)
 
             # ---- due: Spark-side explode of the frontier table ----------
             t0 = time.time()
@@ -463,7 +521,8 @@ def run_crawl(
                 .withColumn("row_ok", row_ok_e)
                 .select("url_canon", "site", "seed_index", "page", "dom_pos",
                         "order_key", "title", "img", "origin", "time_source",
-                        "fuzzy_dedup", "d_summary", "d_img", "ts", "row_ok")
+                        "fuzzy_dedup", "d_summary", "d_img", "ts", "row_ok",
+                        F.col("href").alias("original_url"))
                 .localCheckpoint()
             )
             _clock("pregate_materialize", t0)
@@ -559,7 +618,11 @@ def run_crawl(
             docs = accepted.select(
                 F.md5(F.col("url_canon")).alias("doc_id"),
                 spans_e.alias("spans"),
-                F.col("url_canon"), F.col("site"), F.col("ts"),
+                # the reference record keeps the raw href next to the
+                # canonical key (Nate_Crawler.py:126-132 'original_url',
+                # Google_Crawler.py:248-254)
+                F.col("url_canon"), F.col("original_url"),
+                F.col("site"), F.col("ts"),
                 F.col("order_key").alias("crawl_order"),
                 F.lit(batch).alias("batch_id"),
                 F.col("seed_index"), F.col("page"),
@@ -594,14 +657,15 @@ def run_crawl(
 
             # ---- cross-window state (in-memory, committed async) ---------
             seen_delta = docs.select("url_canon").persist()
-            retained.append(seen_delta)
+            seen_chain.append(seen_delta)
+            res.max_union_depth = max(res.max_union_depth, len(seen_chain))
             new_seen = seen_mem.unionByName(seen_delta) if seen_mem is not None else seen_delta
             fz_delta = (
                 docs.filter(F.col("fuzzy_dedup"))
                 .select("site", "norm_title", F.col("crawl_order").alias("seq"))
                 .persist()
             )
-            retained.append(fz_delta)
+            fuzzy_chain.append(fz_delta)
             new_fuzzy = fuzzy_mem.unionByName(fz_delta) if fuzzy_mem is not None else fz_delta
 
             # filter update: collect only the DELTA (one small job on the
@@ -740,6 +804,7 @@ def run_crawl(
             seen_mem, fuzzy_mem, frontier_mem = new_seen, new_fuzzy, new_frontier
 
             res.batches += 1
+            since_compact += 1
             res.dispatched += n_disp
             res.items += n_items_total
             res.accepted += n_accepted
@@ -754,8 +819,10 @@ def run_crawl(
                 raise InjectedFailure(f"injected failure after batch {batch}")
     finally:
         store.wait_commit()
-        for df in prev_unpersist + retained:
+        for df in prev_unpersist + seen_chain + fuzzy_chain:
             df.unpersist()
+        if fuzzy_ckpt is not None:
+            fuzzy_ckpt.unpersist()
         if frontier_mem is not None:
             frontier_mem.unpersist()
         if retry_mem is not None:

@@ -504,5 +504,6 @@ def _process_item(it, seed, prof: SiteProfile, corpus, batch_ts, g: GoldenRun, f
     g.order.append(url_c)
     did = doc_id_of(url_c)
     g.docs[did] = spans
-    g.meta[did] = {"site": site, "ts": ts, "url_canon": url_c}
+    g.meta[did] = {"site": site, "ts": ts, "url_canon": url_c,
+                   "original_url": it["href"]}
     return True

@@ -51,6 +51,15 @@ def test_timestamp_parity(spark, golden, crawl_run):
         assert r.ts == golden.meta[r.doc_id]["ts"], r.url_canon
 
 
+def test_original_url_parity(spark, golden, crawl_run):
+    """Record shape fidelity: the raw pre-canonical href rides next to
+    the canonical key (Nate_Crawler.py:126-132)."""
+    store, _ = crawl_run
+    _, rows = _engine_docs(spark, store)
+    for r in rows:
+        assert r.original_url == golden.meta[r.doc_id]["original_url"], r.url_canon
+
+
 def test_metrics_lineage_present(spark, crawl_run):
     store, res = crawl_run
     m = store.read(spark, "metrics")
