@@ -39,18 +39,22 @@ _NL_TRIM = re.compile(r"[ \t]*\n[ \t]*")
 class Node:
     """One element. ``children`` holds Nodes and raw text strings."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "type_index")
+    __slots__ = ("tag", "attrs", "children", "parent", "type_index", "tag_counts")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Node | str] = []
         self.parent = parent
+        # per-parent same-tag counter keeps :nth-of-type O(1) per insert
+        # (counting siblings on every insert was O(n²) in sibling count)
+        self.tag_counts: dict[str, int] = {}
         # 1-based index among same-tag element siblings (:nth-of-type)
         self.type_index = 1
         if parent is not None:
-            same = sum(1 for c in parent.children if isinstance(c, Node) and c.tag == tag)
-            self.type_index = same + 1
+            n = parent.tag_counts.get(tag, 0) + 1
+            parent.tag_counts[tag] = n
+            self.type_index = n
             parent.children.append(self)
 
     # -- text -----------------------------------------------------------
@@ -109,11 +113,109 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
-def parse_html(text: str) -> Node:
+def parse_html_stdlib(text: str) -> Node:
+    """html.parser-backed tree build — the reference semantics for the
+    fast tokenizer below (tests/test_html_parse.py cross-checks the two
+    over the full 10-site corpus)."""
     tb = _TreeBuilder()
     tb.feed(text)
     tb.close()
     return tb.root
+
+
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-\w:.]*)(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|[^\s>]*))?"
+)
+_RAWTEXT_CLOSE = {"script": re.compile(r"</script\s*>", re.I),
+                  "style": re.compile(r"</style\s*>", re.I)}
+
+
+def parse_html(text: str) -> Node:
+    """Single-pass regex tokenizer (~2× html.parser, which spends the
+    page budget in pure-Python ``goahead``/``parse_starttag``). Produces
+    the same tree as ``parse_html_stdlib`` for the constructs the corpus
+    and selector engine use: elements with double/single/bare attributes,
+    void + self-closing tags, li/p/option self-nesting recovery, stray
+    ``<`` as data, comments, doctype/PI skip, script/style raw text, and
+    charref unescaping in data and attribute values."""
+    from html import unescape
+
+    root = Node("#document", {}, None)
+    stack = [root]
+    pos, n = 0, len(text)
+    find = text.find
+    closers = _TreeBuilder.SELF_NESTING_CLOSERS
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            chunk = text[pos:]
+            stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > pos:
+            chunk = text[pos:lt]
+            stack[-1].children.append(unescape(chunk) if "&" in chunk else chunk)
+        head = text[lt + 1: lt + 2]
+        if head == "!":
+            if text.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            else:  # doctype / bogus declaration
+                end = find(">", lt)
+                pos = n if end < 0 else end + 1
+            continue
+        if head == "?":
+            end = find(">", lt)
+            pos = n if end < 0 else end + 1
+            continue
+        m = _TAG_RE.match(text, lt)
+        if m is None:  # stray '<' is data (html.parser leniency)
+            stack[-1].children.append("<")
+            pos = lt + 1
+            continue
+        closing, tag, attrtext, selfclose = m.groups()
+        tag = tag.lower()
+        pos = m.end()
+        if closing:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        attrs: dict[str, str | None] = {}
+        if attrtext:
+            for am in _ATTR_RE.finditer(attrtext):
+                if not am.group(1):
+                    continue
+                if am.group(3) is not None:
+                    val: str | None = am.group(3)
+                elif am.group(4) is not None:
+                    val = am.group(4)
+                elif am.group(2):
+                    val = am.group(2)
+                else:
+                    val = None
+                if val is not None and "&" in val:
+                    val = unescape(val)
+                attrs[am.group(1).lower()] = val
+        tag_closers = closers.get(tag)
+        if tag_closers and stack[-1].tag in tag_closers:
+            stack.pop()
+        node = Node(tag, attrs, stack[-1])
+        if selfclose or tag in VOID_TAGS:
+            continue
+        rawtext = _RAWTEXT_CLOSE.get(tag)
+        if rawtext is not None:
+            mm = rawtext.search(text, pos)
+            end = mm.start() if mm else n
+            if end > pos:
+                node.children.append(text[pos:end])
+            pos = mm.end() if mm else n
+            continue
+        stack.append(node)
+    return root
 
 
 # ---------------------------------------------------------------- selectors
@@ -171,6 +273,8 @@ class Selector:
     def _chain_matches(self, chain: list[_Simple], node: Node) -> bool:
         if not chain[-1].matches(node):
             return False
+        if len(chain) == 1:
+            return True
         i = len(chain) - 2
         anc = node.parent
         while i >= 0 and anc is not None:
@@ -181,16 +285,40 @@ class Selector:
 
     def select(self, root: Node) -> list[Node]:
         out: list[Node] = []
+        chains = self.chains
+        single = chains[0] if len(chains) == 1 else None
+        cm = self._chain_matches
 
         def walk(n: Node) -> None:
             for c in n.children:
                 if isinstance(c, Node):
-                    if any(self._chain_matches(ch, c) for ch in self.chains):
+                    if (cm(single, c) if single is not None
+                            else any(cm(ch, c) for ch in chains)):
                         out.append(c)
                     walk(c)
 
         walk(root)
         return out
+
+    def select_first(self, root: Node) -> Node | None:
+        """First match in document order, abandoning the walk at the hit —
+        field fallback chains call this thousands of times per page."""
+        chains = self.chains
+        single = chains[0] if len(chains) == 1 else None
+        cm = self._chain_matches
+
+        def walk(n: Node) -> Node | None:
+            for c in n.children:
+                if isinstance(c, Node):
+                    if (cm(single, c) if single is not None
+                            else any(cm(ch, c) for ch in chains)):
+                        return c
+                    r = walk(c)
+                    if r is not None:
+                        return r
+            return None
+
+        return walk(root)
 
 
 _SEL_CACHE: dict[str, Selector] = {}
@@ -204,5 +332,7 @@ def select(root: Node, selector: str) -> list[Node]:
 
 
 def select_first(root: Node, selector: str) -> Node | None:
-    hits = select(root, selector)
-    return hits[0] if hits else None
+    sel = _SEL_CACHE.get(selector)
+    if sel is None:
+        sel = _SEL_CACHE[selector] = Selector(selector)
+    return sel.select_first(root)

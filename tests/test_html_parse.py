@@ -227,3 +227,87 @@ def test_crawl_udf_relevance_path_parity(spark, world, golden, tmp_path):
     rows = store.read(spark, "documents").collect()
     eng = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans] for r in rows}
     assert eng == {k: [tuple(s) for s in v] for k, v in golden.docs.items()}
+
+
+def test_relevance_profile_fast_vs_loop_random(spark):
+    """Round-3 vectorized arm vs its per-row loop twin on randomized
+    mixed-variant batches — identical accepts on every row."""
+    import random
+
+    from news_crawler_spark.functions.relevance import (
+        relevance_profile_fast_factory,
+        relevance_profile_loop_factory,
+    )
+
+    rng = random.Random(11)
+    inc = [f"kw{i}" for i in range(40)] + ["경제", "경제학", "ai", "aid"]
+    exc = [f"bad{i}" for i in range(20)] + ["광고", "광고주"]
+    vocab = inc + exc + ["filler", "text", "뉴스", "기사", "x1", "x2"]
+    rows = []
+    for _ in range(400):
+        t = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+        if rng.random() < 0.3:
+            t += rng.choice(["경제학분석", "kw1kw2", "aid광고주"])  # no spaces
+        rows.append((t, rng.choice(["substring", "wordset", "regex"]),
+                     rng.random() < 0.7, rng.randrange(0, 4)))
+    df = spark.createDataFrame(
+        rows, "text string, variant string, use_exclude boolean, min_include int")
+    fast = relevance_profile_fast_factory(inc, exc)(
+        F.col("text"), F.col("variant"), F.col("use_exclude"), F.col("min_include"))
+    loop = relevance_profile_loop_factory(inc, exc)(
+        F.col("text"), F.col("variant"), F.col("use_exclude"), F.col("min_include"))
+    got = df.select(fast.alias("f"), loop.alias("l")).collect()
+    for i, r in enumerate(got):
+        assert r.f == r.l, rows[i]
+
+
+def test_fast_tokenizer_matches_stdlib_tree(spark):
+    """The round-3 regex tokenizer must extract identically to the
+    html.parser-backed builder on EVERY corpus page of every site."""
+    from news_crawler_spark.config import base_site
+    from news_crawler_spark.operators.htmlsel import parse_html, parse_html_stdlib
+    from news_crawler_spark.selectors import extract_article_fields, extract_listing_items
+    from news_crawler_spark.synth import build_world
+
+    w = build_world(0.05, site_mult=2)
+    checked = 0
+    for r in w["corpus"]:
+        t = r["content"].decode(r["charset"] or "utf-8", errors="replace")
+        a, b = parse_html(t), parse_html_stdlib(t)
+        site = base_site(r["site"])
+        if r["page_kind"] == "listing":
+            assert (extract_listing_items(site, r["url_canon"], a)
+                    == extract_listing_items(site, r["url_canon"], b)), r["url_canon"]
+            checked += 1
+        elif r["page_kind"] == "article":
+            assert (extract_article_fields(site, a)
+                    == extract_article_fields(site, b)), r["url_canon"]
+            checked += 1
+    assert checked > 300
+
+
+def test_fast_tokenizer_edge_constructs():
+    """Constructs beyond the synth corpus: self-closing, single-quoted +
+    bare attributes, script raw text, stray '<', doctype, entities in
+    attributes."""
+    from news_crawler_spark.operators.htmlsel import parse_html, parse_html_stdlib, select
+
+    html = (
+        "<!DOCTYPE html><html><body>"
+        "<div class='a b' data-x=bare title=\"x &amp; y\">"
+        "1 < 2 &lt;tag&gt;"
+        "<img src='/i.png'/><br>"
+        "<script>if (a < b) { x('</div>'); }</script>"
+        "<ul><li>one<li>two</ul>"
+        "<!-- <p>ignored</p> -->"
+        "<p>done</p></div></body></html>"
+    )
+    for ph in (parse_html, parse_html_stdlib):
+        root = ph(html)
+        d = select(root, "div.a")[0]
+        assert d.attrs["title"] == "x & y"
+        assert d.attrs["data-x"] == "bare"
+        lis = select(root, "ul li")
+        assert [li.text() for li in lis] == ["one", "two"]
+        assert select(root, "p")[0].text() == "done"
+        assert "1 < 2 <tag>" in d.text()

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from news_crawler_spark.functions.relevance import (  # noqa: E402
     keyword_arrays,
     relevance_expr,
+    relevance_profile_fast_factory,
+    relevance_profile_loop_factory,
     relevance_udf_factory,
     relevance_udf_fast_factory,
 )
@@ -64,6 +66,29 @@ def main() -> None:
     t_fast = time.time() - t0
     assert n_native == n_fast, (n_native, n_fast)
 
+    # the crawl's actual large-config path: the profile UDF with mixed
+    # per-row variants — round-2 per-row loop vs round-3 mega-string
+    # vectorized arm (must agree exactly; target speedup >= 1.5x)
+    mixed = big.select(
+        "text",
+        F.when(F.crc32(F.col("text")) % 3 == 0, F.lit("substring"))
+        .when(F.crc32(F.col("text")) % 3 == 1, F.lit("wordset"))
+        .otherwise(F.lit("regex")).alias("variant"),
+        F.lit(True).alias("use_exclude"),
+        F.lit(2).alias("min_include"),
+    ).persist()
+    mixed.count()
+    args = (F.col("text"), F.col("variant"), F.col("use_exclude"), F.col("min_include"))
+    loop_udf = relevance_profile_loop_factory(inc, exc)
+    t0 = time.time()
+    n_loop = mixed.filter(loop_udf(*args)).count()
+    t_loop = time.time() - t0
+    fastp_udf = relevance_profile_fast_factory(inc, exc)
+    t0 = time.time()
+    n_fastp = mixed.filter(fastp_udf(*args)).count()
+    t_fastp = time.time() - t0
+    assert n_loop == n_fastp, (n_loop, n_fastp)
+
     # reference-exact per-keyword UDF is O(keywords) per row — measure on
     # a slice and extrapolate (it loses by orders of magnitude)
     slice_df = big.limit(5000).persist()
@@ -81,6 +106,9 @@ def main() -> None:
         "native_rows_per_s": round(n / t_native, 0),
         "combined_udf_rows_per_s": round(n / t_fast, 0),
         "per_keyword_udf_rows_per_s": round(n_slice / t_exact_slice, 0),
+        "profile_loop_udf_s": round(t_loop, 2),
+        "profile_vectorized_udf_s": round(t_fastp, 2),
+        "profile_vectorized_speedup": round(t_loop / t_fastp, 2),
         "winner": "native_hof" if t_native < t_fast else "combined_regex_udf",
     }))
     spark.stop()
