@@ -43,6 +43,12 @@ HEADLINE = [
 CRAWL_SCALE = float(os.environ.get("BENCH_CRAWL_SCALE", "2"))
 CRAWL_MULT = int(os.environ.get("BENCH_CRAWL_MULT", "96"))  # frontier breadth (hosts)
 CRAWL_K = int(os.environ.get("BENCH_CRAWL_K", "64"))        # pages per micro-batch window
+# multi-window arm (round-3): many small windows so async-commit overlap,
+# cross-window dedup, and state compaction all show up in the headline
+# number; K=1 at this scale yields 30-45 windows
+CRAWL_MULTI_MULT = int(os.environ.get("BENCH_CRAWL_MULTI_MULT", "12"))
+CRAWL_MULTI_K = int(os.environ.get("BENCH_CRAWL_MULTI_K", "1"))
+CRAWL_COMPACT_EVERY = int(os.environ.get("BENCH_CRAWL_COMPACT_EVERY", "8"))
 
 
 def main() -> None:
@@ -92,6 +98,41 @@ def main() -> None:
     }
     timings["crawl_pipeline"] = round(crawl_wall, 3)
 
+    # ---- multi-window crawl (round-3): >=32 windows with periodic
+    # seen/fuzzy compaction — per-window wall must stay flat -------------
+    tmp = tempfile.mkdtemp(prefix="bench_crawl_mw_")
+    write_world(spark, f"{tmp}/world", CRAWL_SCALE, distributed=True,
+                site_mult=CRAWL_MULTI_MULT)
+    world = read_world(spark, f"{tmp}/world")
+    store = SnapshotStore(f"{tmp}/store")
+    t0 = time.time()
+    res_mw = run_crawl(spark, world, store, use_bloom=True,
+                       pages_per_batch=CRAWL_MULTI_K,
+                       compact_every=CRAWL_COMPACT_EVERY,
+                       cache_corpus=True)
+    mw_wall = time.time() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    walls = [b["wall_ms"]["window_total"] for b in res_mw.per_batch]
+    half = len(walls) // 2
+    first_mean = sum(walls[:half]) / max(1, half)
+    second_mean = sum(walls[half:]) / max(1, len(walls) - half)
+    fetched_mw = res_mw.dispatched + res_mw.accepted
+    crawl_multi = {
+        "site_mult": CRAWL_MULTI_MULT,
+        "pages_per_batch": CRAWL_MULTI_K,
+        "compact_every": CRAWL_COMPACT_EVERY,
+        "batches": res_mw.batches,
+        "compactions": res_mw.compactions,
+        "max_union_depth": res_mw.max_union_depth,
+        "docs_accepted": res_mw.accepted,
+        "wall_s": round(mw_wall, 2),
+        "fetched_urls_per_sec": round(fetched_mw / mw_wall, 1),
+        "window_ms_first_half_mean": round(first_mean, 0),
+        "window_ms_second_half_mean": round(second_mean, 0),
+        "window_flatness_second_over_first": round(second_mean / first_mean, 3),
+    }
+    timings["crawl_multiwindow"] = round(mw_wall, 3)
+
     # ---- frontier hot path (the per-executor shape at 10^10 URLs) -------
     from tools.frontier_throughput import messy_urls
 
@@ -125,6 +166,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "crawl": crawl,
+        "crawl_multiwindow": crawl_multi,
         "hotpath": {
             "n_urls": n_hot,
             "wall_s": round(hot_wall, 2),

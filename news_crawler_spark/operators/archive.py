@@ -93,10 +93,44 @@ def merge_head_list(existing: DataFrame, new: DataFrame, k: int = 50) -> DataFra
     )
 
 
-def write_archive_json(archive: DataFrame, path: str) -> None:
-    """S6 sink shape: one JSON line per day group (the reference's
-    ``[{date, articles:[...]}]`` file, line-delimited for parallel IO)."""
-    archive.write.mode("overwrite").json(path)
+def write_archive_json(archive: DataFrame, path: str, nested: bool = False) -> None:
+    """S6 sink shape. ``nested=False``: one JSON line per day group —
+    line-delimited for parallel IO, the engine's storage shape.
+
+    ``nested=True``: the reference's BYTE shape — one ``{site}_News.json``
+    file per site holding the single nested array ``[{date, articles:
+    [...]}]``, rendered with ``json.dump(ensure_ascii=False, indent=2)``
+    and the reference's record key order (Naver_Crawler.py:137-157,
+    Nate_Crawler.py:126-132). A per-site file has a single writer by
+    construction, so this presentation arm collects the day groups to
+    the driver; it is for serving-layer export, not the 100 TB path
+    (tests/test_archive.py pins byte equality vs the parity model's
+    independent rendering)."""
+    if not nested:
+        archive.write.mode("overwrite").json(path)
+        return
+    import json
+    import os
+
+    by_site: dict[str, list] = {}
+    for r in archive.collect():  # day_grouped_archive rows: days ascending
+        by_site.setdefault(r.site, []).append(r)
+    os.makedirs(path, exist_ok=True)
+    for site, rs in by_site.items():
+        out = [
+            {
+                "date": r.date_key,
+                "articles": [
+                    {"title": a.title, "time": a.time, "img": a.img,
+                     "url": a.url, "original_url": a.original_url,
+                     "summary": a.summary}
+                    for a in r.articles
+                ],
+            }
+            for r in rs
+        ]
+        with open(os.path.join(path, f"{site}_News.json"), "w", encoding="utf-8") as f:
+            json.dump(out, f, ensure_ascii=False, indent=2)
 
 
 def read_archive_json(spark, path: str) -> DataFrame:

@@ -81,6 +81,34 @@ def build_shards(
     return routed.groupBy("shard_id").applyInPandas(make, schema=BLOOM_SCHEMA)
 
 
+def rows_from_urls(
+    urls,
+    n_shards: int = DEFAULT_N_SHARDS,
+    n_bits: int = DEFAULT_BITS_PER_SHARD,
+    n_hashes: int = DEFAULT_N_HASHES,
+    version: int = 0,
+) -> list[dict]:
+    """Driver-side twin of ``build_shards(...).collect()`` for
+    window-bounded accept sets: identical md5 double-hash bit math and
+    shard routing (h1 % n_shards == shard_id_col), zero Spark jobs —
+    the crawl loop folds the filter update into its accept-stats collect
+    instead of running a separate applyInPandas job per window."""
+    urls = pd.Series(urls)
+    h1, h2 = _h12(urls)
+    sid = (h1 % np.uint64(n_shards)).astype(np.int64)
+    rows = []
+    for s in np.unique(sid):
+        m = sid == s
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        for i in range(n_hashes):
+            pos = (h1[m] + np.uint64(i) * h2[m]) % np.uint64(n_bits)
+            np.bitwise_or.at(bits, (pos >> 3).astype(np.int64),
+                             (1 << (pos & 7)).astype(np.uint8))
+        rows.append({"shard_id": int(s), "n_bits": n_bits, "n_hashes": n_hashes,
+                     "bits": bits.tobytes(), "version": version})
+    return rows
+
+
 def merge_shards(existing: DataFrame, delta: DataFrame) -> DataFrame:
     """OR-merge shard tables (idempotent — re-merging a batch is a no-op)."""
 

@@ -180,6 +180,23 @@ def delta_fps(urls: DataFrame, n_shards: int = 32) -> DataFrame:
     return routed.groupBy("shard_id").applyInPandas(make, schema=FPS_SCHEMA)
 
 
+def fps_rows_from_urls(urls, n_shards: int = 32) -> list[dict]:
+    """Driver-side twin of ``delta_fps(...).collect()`` (same fingerprint
+    math and h1 % n_shards routing) — lets the crawl loop fold the
+    cuckoo update into its accept-stats collect, no extra Spark job."""
+    import pandas as pd
+
+    urls = pd.Series(urls)
+    fp, h1 = _fingerprints(urls)
+    sid = (h1 % np.uint64(n_shards)).astype(np.int64)
+    rows = []
+    for s in np.unique(sid):
+        m = sid == s
+        rows.append({"shard_id": int(s), "fps": fp[m].tobytes(),
+                     "h1s": h1[m].tobytes()})
+    return rows
+
+
 def insert_rows(prev_rows: list | None, fps_rows: list, n_shards: int = 32,
                 buckets_per_shard: int = 1 << 14) -> list:
     """Driver-side incremental insert into held shard rows (dicts) — the

@@ -173,6 +173,8 @@ def run_crawl(
     robots_from_corpus: bool = False,
     compact_every: int | None = None,
     seen_buckets: int = 64,
+    cache_corpus: bool = False,
+    driver_stats_max_rows: int = 500_000,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
     committing one snapshot per window; resumes from the store's last
@@ -192,6 +194,17 @@ def run_crawl(
     corpus, seeds = world["corpus"], world["seeds"]
     listings = corpus.filter(F.col("page_kind") == "listing")
     articles = corpus.filter(F.col("page_kind") == "article")
+    # The replay-corpus joins stand in for the fetcher tier: a real crawl
+    # pays per-URL network IO, so the simulator must not pay a full
+    # corpus scan per window either. Listings prune to the window's page
+    # band (see win_listings below); articles have no page locality (any
+    # page links any article), so ``cache_corpus`` pins that branch once
+    # (memory-and-disk) instead of re-decoding parquet every window —
+    # the sandbox analog of an indexed fetch service.
+    if cache_corpus:
+        from pyspark import StorageLevel
+
+        articles = articles.persist(StorageLevel.MEMORY_AND_DISK)
     if robots_from_corpus:
         # C7 end-to-end: the robots dimension is PARSED from fetched
         # robots.txt bytes in the replayed corpus (operators/robots.py
@@ -345,6 +358,14 @@ def run_crawl(
             batch += 1
             p0 = (batch - 1) * K + 1
             p1 = p0 + K - 1
+            # window-band listing scan: prunes the fetch join's corpus
+            # side to the K due pages (partition dirs / cached-batch
+            # stats). Retried URLs point at older pages — widen to the
+            # full history only when retries are actually pending.
+            lo_page = 1 if (retry_mem is not None and n_retry > 0) else p0
+            win_listings = listings.filter(
+                (F.col("page") >= lo_page) & (F.col("page") <= p1)
+            )
             # page-cap deactivation at window start (oracle loop-top order)
             for s in seed_state:
                 if s["active"] and s["max_pages"] and p0 > s["max_pages"]:
@@ -427,7 +448,7 @@ def run_crawl(
             if max_retries > 0:
                 fail_rows = (
                     dispatched.select("url_canon", "site", "seed_index", "page", "attempt")
-                    .join(listings.select("url_canon", "http_status"),
+                    .join(win_listings.select("url_canon", "http_status"),
                           on="url_canon", how="left")
                     .filter(F.col("http_status").isNull() | (F.col("http_status") != 200))
                     .drop("http_status")
@@ -456,7 +477,7 @@ def run_crawl(
             # the parse UDF — the map-side join leaves them on the scan's
             # few partitions, which would serialize parsing
             fetched = disp_side.join(
-                listings.filter(F.col("http_status") == 200)
+                win_listings.filter(F.col("http_status") == 200)
                 .select("url_canon", "content", "charset"),
                 on="url_canon", how="inner",
             ).repartition(n_parts)
@@ -586,7 +607,7 @@ def run_crawl(
                     columns=["seed_index", "page_limit"],
                 ),
                 "seed_index int, page_limit int",
-            )
+            ).coalesce(1)  # parallelize defaults to 32 near-empty slices
             # left join: retried rows from earlier windows (or stopped
             # seeds) have no limit row — the window mask applies only to
             # the current window's pages
@@ -612,7 +633,7 @@ def run_crawl(
             ).select("url_canon")
             accepted = plain.unionByName(
                 fuzzy_cand.join(gated_fz, on="url_canon", how="left_semi")
-            ).persist()
+            )
 
             # ---- document assembly (P4) ---------------------------------
             docs = accepted.select(
@@ -628,18 +649,41 @@ def run_crawl(
                 F.col("seed_index"), F.col("page"),
                 norm_title_e.alias("norm_title"),
                 F.col("fuzzy_dedup"),
-            ).persist()
+            ).localCheckpoint(eager=False)
+            # LAZY checkpoint: caches like persist() AND truncates the
+            # logical plan at creation (no extra job — stats2 below is
+            # the materializing action). Truncation here is structural,
+            # not cosmetic: docs' lineage embeds fuzzy_gate(fuzzy_mem),
+            # and fuzzy_mem's deltas are built FROM prior docs — without
+            # severing, the state plans double per window (2^W nodes by
+            # window W; observed as minutes-long Catalyst stalls by
+            # window 4 at K=1). Same reasoning for the delta/head
+            # checkpoints below.
             _clock("dag_build", t0)
 
-            # ---- stats job 2: accept counts ------------------------------
+            # ---- stats job 2: accept counts. Window-bounded windows
+            # (items <= driver_stats_max_rows) collect the accepted
+            # (seed, page, url) rows instead of pre-aggregated counts:
+            # ONE job then yields accept counts AND the bloom/cuckoo
+            # filter delta (driver-side numpy twins of the shard
+            # builders) — the per-window applyInPandas+collect filter
+            # job disappears. Larger windows keep the aggregate+job path.
             t0 = time.time()
-            ac = docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
-            acc_counts = {
-                (int(s_), int(p)): int(n)
-                for s_, p, n in zip(ac["seed_index"], ac["page"], ac["n"])
-            }
-            n_accepted = sum(acc_counts.values())
             n_items_total = sum(item_counts.values())
+            fuse_stats = n_items_total <= driver_stats_max_rows
+            accept_urls = None
+            if fuse_stats:
+                ac = docs.select("seed_index", "page", "url_canon").toPandas()
+                g = ac.groupby(["seed_index", "page"]).size()
+                acc_counts = {(int(k[0]), int(k[1])): int(v) for k, v in g.items()}
+                accept_urls = ac["url_canon"]
+            else:
+                ac = docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
+                acc_counts = {
+                    (int(s_), int(p)): int(n)
+                    for s_, p, n in zip(ac["seed_index"], ac["page"], ac["n"])
+                }
+            n_accepted = sum(acc_counts.values())
             _clock("stats2", t0)
             t0 = time.time()
 
@@ -656,14 +700,14 @@ def run_crawl(
                     s["active"] = False  # final page accepted nothing
 
             # ---- cross-window state (in-memory, committed async) ---------
-            seen_delta = docs.select("url_canon").persist()
+            seen_delta = docs.select("url_canon").localCheckpoint(eager=False)
             seen_chain.append(seen_delta)
             res.max_union_depth = max(res.max_union_depth, len(seen_chain))
             new_seen = seen_mem.unionByName(seen_delta) if seen_mem is not None else seen_delta
             fz_delta = (
                 docs.filter(F.col("fuzzy_dedup"))
                 .select("site", "norm_title", F.col("crawl_order").alias("seq"))
-                .persist()
+                .localCheckpoint(eager=False)
             )
             fuzzy_chain.append(fz_delta)
             new_fuzzy = fuzzy_mem.unionByName(fz_delta) if fuzzy_mem is not None else fz_delta
@@ -672,13 +716,21 @@ def run_crawl(
             # cached seen_delta), merge/insert driver-side in numpy
             overwrite: dict[str, DataFrame] = {}
             if seen_filter == "bloom":
-                delta_rows = [r.asDict() for r in bloom.build_shards(
-                    seen_delta, n_shards=n_bloom_shards, version=batch).collect()]
+                if accept_urls is not None:
+                    delta_rows = bloom.rows_from_urls(
+                        accept_urls, n_shards=n_bloom_shards, version=batch)
+                else:
+                    delta_rows = [r.asDict() for r in bloom.build_shards(
+                        seen_delta, n_shards=n_bloom_shards, version=batch).collect()]
                 shard_rows = bloom.merge_rows(shard_rows, delta_rows)
                 overwrite["bloom_shards"] = bloom.rows_df(spark, shard_rows)
             elif seen_filter == "cuckoo":
-                fps_rows = [r.asDict() for r in cuckoo.delta_fps(
-                    seen_delta, n_shards=n_bloom_shards).collect()]
+                if accept_urls is not None:
+                    fps_rows = cuckoo.fps_rows_from_urls(
+                        accept_urls, n_shards=n_bloom_shards)
+                else:
+                    fps_rows = [r.asDict() for r in cuckoo.delta_fps(
+                        seen_delta, n_shards=n_bloom_shards).collect()]
                 shard_rows = cuckoo.insert_rows(shard_rows, fps_rows,
                                                 n_shards=n_bloom_shards)
                 overwrite["cuckoo_shards"] = cuckoo.rows_df(spark, shard_rows)
@@ -694,7 +746,7 @@ def run_crawl(
                              "max_pages", "status"],
                 ),
                 FRONTIER_SCHEMA,
-            ).filter(F.col("seed_index") >= 0).persist()
+            ).coalesce(1).filter(F.col("seed_index") >= 0).persist()
 
             # C5 failure routing: non-200 / missing listings are logged as
             # failed|missing rather than silently dropped (per-article
@@ -705,7 +757,7 @@ def run_crawl(
                 dispatched.select("url_canon", "site", "seed_index", "page",
                                   "attempt", "next_fetch_after")
                 .withColumn("user_agent", ua_expr(F.col("url_canon")))
-                .join(listings.select("url_canon", "http_status"), on="url_canon", how="left")
+                .join(win_listings.select("url_canon", "http_status"), on="url_canon", how="left")
                 .withColumn(
                     "status",
                     F.when(F.col("http_status") == 200, F.lit("fetched"))
@@ -750,7 +802,7 @@ def run_crawl(
                      stage_wall.get("stats2", 0)),
                 ],
                 METRICS_SCHEMA,
-            ).unionByName(part_metrics)
+            ).coalesce(1).unionByName(part_metrics)
 
             # S9: the reference maintains a global 50-newest news.json
             # every run (utils.js:18-23); the engine keeps it as an
@@ -759,7 +811,8 @@ def run_crawl(
             win_head = docs.select(*head_fields())
             new_head = (
                 head_mem.unionByName(win_head) if head_mem is not None else win_head
-            ).orderBy(F.desc("ts"), F.col("crawl_order")).limit(50).persist()
+            ).orderBy(F.desc("ts"), F.col("crawl_order")).limit(50) \
+                .localCheckpoint(eager=False)  # cap the union-of-unions depth
             overwrite["head_list"] = new_head
             overwrite["seed_state"] = _seed_state_df(spark, seed_state)
             overwrite["frontier_pending"] = new_frontier
@@ -778,15 +831,20 @@ def run_crawl(
                 df.unpersist()
             _clock("commit_wait", t0)
             t0 = time.time()
+            # size the write partitioning to the window: a K=1 window of a
+            # few hundred rows must not emit 32 files x 4 tables (and 32
+            # tasks each) per commit; big windows keep their parallelism
+            w_docs = max(1, min(n_parts, n_accepted // 100_000 + 1))
+            w_log = max(1, min(n_parts, (n_disp + n_accepted) // 100_000 + 1))
             store.commit_async(
                 batch,
                 overwrite=overwrite,
                 append={
                     "documents": docs.drop("seed_index", "page", "norm_title",
-                                           "fuzzy_dedup"),
-                    "seen": seen_delta,
-                    "frontier_log": frontier_log,
-                    "metrics": metrics,
+                                           "fuzzy_dedup").coalesce(w_docs),
+                    "seen": seen_delta.coalesce(w_docs),
+                    "frontier_log": frontier_log.coalesce(w_log),
+                    "metrics": metrics.coalesce(1),
                 },
                 meta={"pages": [p0, p1],
                       "active_seeds": sum(1 for s in seed_state if s["active"]),
@@ -794,7 +852,7 @@ def run_crawl(
             )
             _clock("commit_submit", t0)
 
-            prev_unpersist = [docs, accepted, pregate, items, dispatched, frontier_mem]
+            prev_unpersist = [docs, pregate, items, dispatched, frontier_mem]
             if retry_mem is not None:
                 prev_unpersist.append(retry_mem)
             if head_mem is not None:
@@ -805,6 +863,14 @@ def run_crawl(
 
             res.batches += 1
             since_compact += 1
+            # Nudge the JVM so the ContextCleaner reclaims the previous
+            # windows' checkpoint RDDs and broadcasts NOW: their py4j
+            # proxies just died, but without a GC the weak refs never
+            # enqueue and a long run accretes them until the heap
+            # thrashes (observed: minutes-long unpersist calls, then
+            # OOM). A full GC of a healthy heap costs ~100-300 ms.
+            if res.batches % 8 == 0:
+                spark.sparkContext._jvm.System.gc()
             res.dispatched += n_disp
             res.items += n_items_total
             res.accepted += n_accepted
@@ -831,6 +897,8 @@ def run_crawl(
             head_mem.unpersist()
         if robots_from_corpus:
             robots.unpersist()
+        if cache_corpus:
+            articles.unpersist()
     return res
 
 
@@ -844,7 +912,7 @@ def _seed_state_df(spark: SparkSession, seed_state: list[dict]) -> DataFrame:
             columns=["seed_index", "site", "url", "max_pages", "active"],
         ),
         SEED_STATE_SCHEMA,
-    )
+    ).coalesce(1)
 
 
 def _stop_replay(

@@ -507,3 +507,49 @@ def _process_item(it, seed, prof: SiteProfile, corpus, batch_ts, g: GoldenRun, f
     g.meta[did] = {"site": site, "ts": ts, "url_canon": url_c,
                    "original_url": it["href"]}
     return True
+
+
+# --------------------------------------------------------------- archive render
+
+_KOR_DAYS_MON0 = ["월요일", "화요일", "수요일", "목요일", "금요일", "토요일", "일요일"]
+
+
+def render_archive_json(g) -> dict[str, str]:
+    """Site → exact file content of the reference's nested news_json
+    archive (``[{date, articles:[...]}]`` per site, json.dump
+    ensure_ascii=False indent=2 — Naver_Crawler.py:137-157; record key
+    order title/time/img/url/original_url/summary, Naver_Crawler.py:
+    124-131). Rendered independently from the golden run (datetime +
+    dict machinery, no Spark) for the byte-shape golden test."""
+    import json
+
+    order_of = {u: i for i, u in enumerate(g.order)}
+    by_site: dict[str, list] = {}
+    for did, spans in g.docs.items():
+        meta = g.meta[did]
+        title = next((s[1] for s in spans if s[0] == "title"), "")
+        summary = next((s[1] for s in spans if s[0] == "summary"), "")
+        img = next((s[2] for s in spans if s[0] == "image"), "")
+        by_site.setdefault(meta["site"], []).append(
+            (meta["ts"], order_of[meta["url_canon"]],
+             {"title": title,
+              "time": meta["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+              "img": img,
+              "url": meta["url_canon"],
+              "original_url": meta["original_url"],
+              "summary": summary})
+        )
+    out: dict[str, str] = {}
+    for site, rows in by_site.items():
+        by_day: dict = {}
+        for ts, orderi, rec in rows:
+            by_day.setdefault(ts.date(), []).append((ts, orderi, rec))
+        days = []
+        for day in sorted(by_day):
+            recs = sorted(by_day[day], key=lambda r: (-r[0].timestamp(), r[1]))
+            any_ts = recs[0][0]
+            key = (f"{any_ts:%Y}년 {any_ts:%m}월 {any_ts:%d}일 "
+                   f"{_KOR_DAYS_MON0[any_ts.weekday()]}")
+            days.append({"date": key, "articles": [r[2] for r in recs]})
+        out[site] = json.dumps(days, ensure_ascii=False, indent=2)
+    return out

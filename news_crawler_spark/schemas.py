@@ -42,6 +42,11 @@ CORPUS = T.StructType(
         T.StructField("charset", T.StringType(), False),    # utf-8|euc-kr
         T.StructField("http_status", T.IntegerType(), False),
         T.StructField("fetch_latency_ms", T.IntegerType(), False),
+        # listing page number (None for article/robots rows): the replay
+        # corpus' micro-batch locality key — windows prune their fetch
+        # scan to [p0, p1] (partition dirs on parquet, batch stats in the
+        # in-memory cache) instead of re-scanning the whole corpus
+        T.StructField("page", T.IntegerType(), True),
     ]
 )
 

@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # long-lived micro-batch drivers: localCheckpoint RDDs and
+        # per-window broadcasts are reclaimed by the ContextCleaner only
+        # after a JVM GC enqueues their weak refs — the 30min default
+        # lets them pile up for an entire run (heap thrash, then OOM)
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # content-heavy corpus scans (binary HTML payloads): smaller splits
         # keep scan parallelism up when a partition dir compresses well
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))

@@ -54,9 +54,13 @@ def write_world(spark: SparkSession, out_dir: str, scale: float = 1.0,
         p = os.path.join(out_dir, f"{name}.parquet")
         writer = df.write.mode("overwrite")
         if name == "corpus":
-            # page_kind+site partitioning: the pipeline's listing/article
-            # scans prune to one branch each (partition pruning, SURVEY §4)
-            writer = writer.partitionBy("page_kind")
+            # page_kind + page partitioning: listing/article scans prune
+            # to one branch each, and each crawl window's fetch join
+            # prunes the listing branch to its [p0, p1] page band —
+            # without it every window re-reads the whole listing corpus
+            # (partition pruning, SURVEY §4; articles/robots land in the
+            # null-page partition, untouched by the band filter)
+            writer = writer.partitionBy("page_kind", "page")
         writer.parquet(p)
         paths[name] = p
     return paths

@@ -616,6 +616,7 @@ def build_world(scale: float = 1.0, site_mult: int = 1) -> dict[str, list[dict]]
                         "charset": prof.charset,
                         "http_status": 200,
                         "fetch_latency_ms": 20 + H("lat", site, s, page) % 400,
+                        "page": page,
                     }
                 )
         for art_id in range(n_art):
@@ -628,6 +629,7 @@ def build_world(scale: float = 1.0, site_mult: int = 1) -> dict[str, list[dict]]
                     "charset": prof.charset,
                     "http_status": article_status(site, art_id),
                     "fetch_latency_ms": 20 + H("lat2", site, art_id) % 400,
+                    "page": None,
                 }
             )
     for site in virtual_sites(site_mult):
@@ -640,6 +642,7 @@ def build_world(scale: float = 1.0, site_mult: int = 1) -> dict[str, list[dict]]
                 "charset": profile_of(site).charset,
                 "http_status": 200,
                 "fetch_latency_ms": 10,
+                "page": None,
             }
         )
     robots = [
@@ -695,6 +698,7 @@ def build_corpus_spark(spark, scale: float, site_mult: int = 1):
                             prof.charset,
                             200,
                             10,
+                            None,
                         )
                     )
                 elif r.kind == "listing":
@@ -708,6 +712,7 @@ def build_corpus_spark(spark, scale: float, site_mult: int = 1):
                                 prof.charset,
                                 200,
                                 20 + H("lat", r.site, r.seed, page) % 400,
+                                page,
                             )
                         )
                 else:
@@ -721,13 +726,14 @@ def build_corpus_spark(spark, scale: float, site_mult: int = 1):
                                 prof.charset,
                                 article_status(r.site, a),
                                 20 + H("lat2", r.site, a) % 400,
+                                None,
                             )
                         )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "url_canon", "page_kind", "site", "content",
-                    "charset", "http_status", "fetch_latency_ms",
+                    "charset", "http_status", "fetch_latency_ms", "page",
                 ],
             )
 

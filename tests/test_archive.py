@@ -109,3 +109,25 @@ def test_crawl_maintains_incremental_head_list(spark, world, tmp_path):
     got = {(r.url, str(r.ts)) for r in got_rows}
     assert len(got_rows) == min(50, docs.count())
     assert got == expect
+
+
+def test_nested_archive_byte_shape(spark, golden, documents, tmp_path):
+    """S6 byte-shape arm: write_archive_json(nested=True) emits one
+    {site}_News.json per site, byte-identical to the parity model's
+    independent rendering of the reference format."""
+    import os
+
+    from news_crawler_spark.operators.archive import day_grouped_archive, write_archive_json
+    from news_crawler_spark.reference_model import render_archive_json
+
+    out = str(tmp_path / "news_json")
+    write_archive_json(day_grouped_archive(documents), out, nested=True)
+    expected = render_archive_json(golden)
+    got = {}
+    for fn in os.listdir(out):
+        assert fn.endswith("_News.json")
+        with open(os.path.join(out, fn), encoding="utf-8") as f:
+            got[fn[: -len("_News.json")]] = f.read()
+    assert set(got) == set(expected)
+    for site in expected:
+        assert got[site] == expected[site], site
