@@ -50,17 +50,32 @@ def write_world(spark: SparkSession, out_dir: str, scale: float = 1.0,
         dfs["robots"] = spark.createDataFrame(
             [tuple(r[c.name] for c in ROBOTS) for r in w["robots"]], ROBOTS
         )
+    from pyspark.sql import functions as F
+
     for name, df in dfs.items():
         p = os.path.join(out_dir, f"{name}.parquet")
-        writer = df.write.mode("overwrite")
         if name == "corpus":
             # page_kind + page partitioning: listing/article scans prune
             # to one branch each, and each crawl window's fetch join
             # prunes the listing branch to its [p0, p1] page band —
             # without it every window re-reads the whole listing corpus
             # (partition pruning, SURVEY §4; articles/robots land in the
-            # null-page partition, untouched by the band filter)
-            writer = writer.partitionBy("page_kind", "page")
+            # null-page partition, untouched by the band filter).
+            # Cluster rows to the partition layout BEFORE the write:
+            # without it every build task emits a file into every page
+            # dir (observed 257k files at mult=384 — file-listing alone
+            # then dominates planning). Listings cluster whole-page-per
+            # -partition (→ ~1 file/dir); the page-less article branch
+            # spreads over a 64-way url hash so its single dir still
+            # writes in parallel.
+            wkey = F.coalesce(
+                F.col("page"),
+                F.pmod(F.xxhash64("url_canon"), F.lit(64)).cast("int"),
+            )
+            df = df.repartition(256, F.col("page_kind"), wkey)
+            writer = df.write.mode("overwrite").partitionBy("page_kind", "page")
+        else:
+            writer = df.write.mode("overwrite")
         writer.parquet(p)
         paths[name] = p
     return paths
