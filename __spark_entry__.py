@@ -533,8 +533,10 @@ def m01_image_meta(spark, sf):
 
 
 def crawl_flagship(spark, sf):
-    """The crawl micro-batch pipeline end-to-end on a tiny synthetic world
-    (rows-only check here; exact span/order/seen parity is pytest-gated).
+    """The crawl micro-batch pipeline end-to-end on a tiny synthetic world,
+    hash-gated against a DuckDB golden computed by the pure-Python
+    reference model over the SAME deterministic world (see oracle_sql;
+    exact span/order/seen parity is additionally pytest-gated).
     Ignores sf_dir — the crawl's input is the replayed fetch corpus."""
     import tempfile
 
@@ -547,7 +549,32 @@ def crawl_flagship(spark, sf):
     run_crawl(spark, world, store, use_bloom=False, n_salts=2, pages_per_batch=8,
               max_batches=2)
     docs = store.read(spark, "documents")
-    return docs.select("doc_id", "url_canon", "site", "crawl_order", "ts")
+    # crawl_order is the engine's (page, seed_index, dom_pos) key; rank it
+    # so the oracle side (golden order list index) compares exactly
+    w = Window.orderBy("crawl_order")
+    return docs.select("doc_id", "url_canon", "site", "crawl_order", "ts") \
+        .withColumn("order_rank", F.row_number().over(w)) \
+        .select("doc_id", "url_canon", "site", "order_rank", "ts")
+
+
+def _flagship_golden_values() -> str:
+    """DuckDB VALUES literal of the reference model's accepted set for the
+    flagship world — the pure-Python sequential model IS the oracle; both
+    sides derive from the same deterministic synth (scale 0.02, ~64 rows)."""
+    from news_crawler_spark.reference_model import doc_id_of, run_reference_model
+    from news_crawler_spark.synth import build_world
+
+    g = run_reference_model(build_world(0.02))
+    rows = []
+    for rank, url in enumerate(g.order, 1):
+        did = doc_id_of(url)
+        m = g.meta[did]
+        u = url.replace("'", "''")
+        rows.append(
+            f"('{did}','{u}','{m['site']}',{rank},"
+            f"TIMESTAMP '{m['ts'].strftime('%Y-%m-%d %H:%M:%S')}')"
+        )
+    return ",\n".join(rows)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1099,6 +1126,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents
         """,
-        # m01_image_meta, crawl_flagship: non-SQL-expressible (mapInPandas
-        # stub decode / stateful micro-batch loop) → rows-only check.
+        # The stateful micro-batch loop isn't SQL-expressible, but its
+        # RESULT is a fixed deterministic set — the golden VALUES come from
+        # the independent pure-Python reference model (round-3 VERDICT #4).
+        "crawl_flagship": f"""
+            SELECT * FROM (VALUES
+            {_flagship_golden_values()}
+            ) AS t(doc_id, url_canon, site, order_rank, ts)
+        """,
+        # m01_image_meta: non-SQL-expressible (mapInPandas decode)
+        # → rows-only check.
     }

@@ -51,6 +51,43 @@ CRAWL_MULTI_K = int(os.environ.get("BENCH_CRAWL_MULTI_K", "1"))
 CRAWL_COMPACT_EVERY = int(os.environ.get("BENCH_CRAWL_COMPACT_EVERY", "8"))
 
 
+def _timed_count(df) -> float:
+    t0 = time.time()
+    df.count()
+    return time.time() - t0
+
+
+def _scaling_from_artifact() -> dict:
+    """Report the MEASURED scaling numbers from tools/scaling_bench.py's
+    history artifact — never literals (round-3 VERDICT: bench.py shipped
+    stale hardcoded efficiencies that disagreed with BENCH/BASELINE.md).
+    Emits nulls with a pointer when no protocol run exists."""
+    out = {
+        "note": "min-of-N fresh-JVM pairs measured by tools/scaling_bench.py "
+                "-> BENCH/scaling_history.jsonl + BENCH/BASELINE.md",
+        "pipeline_eff": None,
+        "cores": None,
+        "config": None,
+    }
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "scaling_history.jsonl")
+    try:
+        with open(hist_path) as f:
+            runs = [json.loads(ln) for ln in f if ln.strip()]
+        runs = [r for r in runs if r.get("kind") == "pipeline_pair"]
+        latest = runs[-1]
+        lo = min(r["wall_s"] for r in latest["lo_runs"])
+        hi = min(r["wall_s"] for r in latest["hi_runs"])
+        ratio = latest["cores_hi"] / latest["cores_lo"]
+        out["pipeline_eff"] = round((lo / hi) / ratio, 3)
+        out["cores"] = [latest["cores_lo"], latest["cores_hi"]]
+        out["config"] = {k: latest[k] for k in ("scale", "mult", "K")}
+        out["runs_per_arm"] = len(latest["lo_runs"])
+    except (OSError, IndexError, KeyError, json.JSONDecodeError):
+        pass
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from news_crawler_spark.plans.crawl import run_crawl
@@ -69,6 +106,47 @@ def main() -> None:
         n = df.count()  # materialize the full plan
         timings[name] = round(time.time() - t0, 3)
         _ = n
+
+    # d02's native-hash throughput arm (same plan shape, xxhash64 family;
+    # md5 stays the DuckDB-oracle arm — round-3 VERDICT #7). Equality of
+    # verified pairs is test-asserted (tests/test_textops.py).
+    from pyspark.sql import functions as F
+
+    from news_crawler_spark.operators.textdedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    xx = minhash_lsh_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        n_hashes=8, band_size=4, verify_jaccard=0.9, hash_family="xxhash64",
+    )
+    timings["d02_minhash_lsh_xxhash"] = round(_timed_count(xx), 3)
+
+    # ---- frontier hot path (the per-executor shape at 10^10 URLs) -------
+    # Measured BEFORE the crawl arms (round-3 VERDICT: running it after
+    # the 33-window multiwindow arm polluted the JVM — checkpoint blocks,
+    # broadcasts, forced GCs — and the reading regressed 9.2→16.1 s with
+    # byte-unchanged code). Min of 3 per the CLAUDE.md host-noise protocol.
+    from tools.frontier_throughput import messy_urls
+
+    from news_crawler_spark.functions.relevance import keyword_arrays, relevance_expr
+    from news_crawler_spark.functions.urls import canonicalize_expr
+    from news_crawler_spark.config import EXCLUDE_KEYWORDS, INCLUDE_KEYWORDS
+    from pyspark.sql import functions as F
+
+    n_hot = int(os.environ.get("BENCH_HOTPATH_URLS", "2000000"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    inc_arr, exc_arr = keyword_arrays(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
+    hot = (
+        messy_urls(spark, n_hot, cores)
+        .withColumn("url_canon",
+                    canonicalize_expr(F.col("href"), F.col("origin"), F.lit(False)))
+        .filter(F.col("url_canon").isNotNull())
+        .filter(relevance_expr(F.col("title"), F.lit("substring"), F.lit(True),
+                               inc_arr, exc_arr, F.lit(1)))
+        .dropDuplicates(["url_canon"])
+    )
+    hot_wall = min(_timed_count(hot) for _ in range(3))
+    timings["frontier_hotpath"] = round(hot_wall, 3)
 
     # ---- crawl throughput ------------------------------------------------
     # world on parquet (columnar scans + page_kind partition pruning) —
@@ -112,6 +190,12 @@ def main() -> None:
                        cache_corpus=True)
     mw_wall = time.time() - t0
     shutil.rmtree(tmp, ignore_errors=True)
+    # the bucketed seen table is a run-local layout artifact keyed off the
+    # (fresh) tempdir — drop it so bench invocations don't accrete tables
+    # in spark-warehouse (round-3 ADVICE)
+    if res_mw.seen_table:
+        spark.sql(f"DROP TABLE IF EXISTS {res_mw.seen_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {res_mw.seen_table}__compacting")
     walls = [b["wall_ms"]["window_total"] for b in res_mw.per_batch]
     half = len(walls) // 2
     first_mean = sum(walls[:half]) / max(1, half)
@@ -133,31 +217,6 @@ def main() -> None:
     }
     timings["crawl_multiwindow"] = round(mw_wall, 3)
 
-    # ---- frontier hot path (the per-executor shape at 10^10 URLs) -------
-    from tools.frontier_throughput import messy_urls
-
-    from news_crawler_spark.functions.relevance import keyword_arrays, relevance_expr
-    from news_crawler_spark.functions.urls import canonicalize_expr
-    from news_crawler_spark.config import EXCLUDE_KEYWORDS, INCLUDE_KEYWORDS
-    from pyspark.sql import functions as F
-
-    n_hot = int(os.environ.get("BENCH_HOTPATH_URLS", "2000000"))
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-    inc_arr, exc_arr = keyword_arrays(INCLUDE_KEYWORDS, EXCLUDE_KEYWORDS)
-    hot = (
-        messy_urls(spark, n_hot, cores)
-        .withColumn("url_canon",
-                    canonicalize_expr(F.col("href"), F.col("origin"), F.lit(False)))
-        .filter(F.col("url_canon").isNotNull())
-        .filter(relevance_expr(F.col("title"), F.lit("substring"), F.lit(True),
-                               inc_arr, exc_arr, F.lit(1)))
-        .dropDuplicates(["url_canon"])
-    )
-    t0 = time.time()
-    hot.count()
-    hot_wall = time.time() - t0
-    timings["frontier_hotpath"] = round(hot_wall, 3)
-
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total_wall",
@@ -172,12 +231,7 @@ def main() -> None:
             "wall_s": round(hot_wall, 2),
             "urls_per_sec": round(n_hot / hot_wall, 0),
         },
-        "scaling": {
-            "note": "measured separately in fresh JVMs (tools/scaling_bench.py, "
-                    "tools/frontier_throughput.py) -> BENCH/BASELINE.md",
-            "operator_hotpath_eff_2_to_8_cores": 0.69,
-            "pipeline_eff_2_to_8_cores": 0.76,
-        },
+        "scaling": _scaling_from_artifact(),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
     }))
     spark.stop()

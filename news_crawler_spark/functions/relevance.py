@@ -108,16 +108,25 @@ def relevance_udf_fast_factory(include: list[str], exclude: list[str]):
 
 
 def _alt_regex(kws: list[str]):
-    """Longest-first alternation + the (usually tiny) set of keywords
-    shadowed by a superstring keyword — the exactness fixup both profile
-    UDF arms share."""
+    """Longest-first alternation wrapped in a LOOKAHEAD ``(?=(k1|k2|…))``
+    plus the (usually tiny) set of keywords shadowed by a superstring
+    keyword — the exactness machinery both profile UDF arms share.
+
+    The lookahead makes the scan non-consuming, so partially-overlapping
+    occurrences are found too (round-3 ADVICE: with ['abc','cde'] and
+    text 'abcde' a consuming scan ate 'abc' and never saw 'cde'). The
+    one miss a non-consuming scan can still have is two keywords starting
+    at the SAME position — the shorter is a prefix (hence substring) of
+    the longer, which is exactly what the shadowed-containment fixup
+    re-checks with a plain ``in``. Together: exactly {k : k ⊆ text}.
+    Matched keywords are read from group 1 (group 0 is zero-width)."""
     import re
 
     if not kws:
         return None, []
     by_len = sorted(set(kws), key=len, reverse=True)
     shadowed = [k for k in set(kws) if any(k != o and k in o for o in set(kws))]
-    return re.compile("|".join(re.escape(k) for k in by_len)), shadowed
+    return re.compile("(?=(" + "|".join(re.escape(k) for k in by_len) + "))"), shadowed
 
 
 def relevance_profile_loop_factory(include: list[str], exclude: list[str]):
@@ -246,10 +255,11 @@ def relevance_profile_fast_factory(include: list[str], exclude: list[str]):
         big = "\x00".join(vals.tolist())
         bounds = np.cumsum(np.fromiter((len(s) + 1 for s in vals),
                                        dtype=np.int64, count=len(vals)))
+        gi = 1 if rx.groups else 0  # lookahead alternations capture in group 1
         pos, kws = [], []
         for m in rx.finditer(big):
             pos.append(m.start())
-            kws.append(m.group(0))
+            kws.append(m.group(gi))
         rows = np.searchsorted(bounds, np.array(pos, dtype=np.int64), side="right")
         return rows, kws
 

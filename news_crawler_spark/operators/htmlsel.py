@@ -131,6 +131,13 @@ _ATTR_RE = re.compile(
 )
 _RAWTEXT_CLOSE = {"script": re.compile(r"</script\s*>", re.I),
                   "style": re.compile(r"</style\s*>", re.I)}
+# html.parser folds a trailing '/' into an UNQUOTED attribute value
+# ('<a href=/foo/>' → value '/foo/', open tag — not self-closing): the
+# tag text ends in value context iff its last attr is '=' + optional
+# whitespace + an unquoted value with no trailing whitespace (round-3
+# ADVICE divergence; '<a href= />' is href='/' too, html.parser allows
+# whitespace after '=').
+_UNQUOTED_VAL_TAIL = re.compile(r"=\s*[^\s>'\"]*$")
 
 
 def parse_html(text: str) -> Node:
@@ -178,6 +185,9 @@ def parse_html(text: str) -> Node:
         closing, tag, attrtext, selfclose = m.groups()
         tag = tag.lower()
         pos = m.end()
+        if selfclose and attrtext and _UNQUOTED_VAL_TAIL.search(attrtext):
+            attrtext += "/"  # the '/' belongs to the unquoted value
+            selfclose = ""
         if closing:
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
@@ -193,7 +203,9 @@ def parse_html(text: str) -> Node:
                     val: str | None = am.group(3)
                 elif am.group(4) is not None:
                     val = am.group(4)
-                elif am.group(2):
+                elif am.group(2) is not None:
+                    # 'attr=' with an empty value is '' (html.parser), not
+                    # None — None means the '=' itself was absent
                     val = am.group(2)
                 else:
                     val = None

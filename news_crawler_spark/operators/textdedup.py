@@ -89,6 +89,28 @@ def minhash_signature_expr(items: Column, n_hashes: int) -> Column:
     )
 
 
+def minhash_signature_xxhash_expr(items: Column, n_hashes: int) -> Column:
+    """Native-hash MinHash arm: per-seed minima of ``xxhash64(seed, item)``
+    (one JVM-codegen'd 64-bit hash per element vs md5's hex-string
+    digest). ~same fold shape as the md5 arm but the accumulator is
+    array<bigint> and each step is integer work — the throughput arm when
+    DuckDB-oracle reproducibility isn't needed (round-3 VERDICT #7: md5
+    per (shingle × seed) was the top headline-query cost). A different
+    min-wise permutation family than md5, so signatures/buckets differ;
+    on near-identical documents both arms verify the same pair set
+    (tests/test_textops.py asserts equality after the exact-Jaccard
+    filter)."""
+    init = F.array_repeat(F.lit(9223372036854775807).cast("bigint"), n_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.aggregate(
+        items,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, seeds, lambda m, s: F.least(m, F.xxhash64(s, x))
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -97,6 +119,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     verify_jaccard: float = 0.9,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs (a < b) via banded MinHash-LSH over word n-gram
     shingles, verified by exact shingle-set Jaccard ≥ ``verify_jaccard``.
@@ -105,10 +128,13 @@ def minhash_lsh_pairs(
     same-domain documents collide massively and the bucket join goes
     quadratic."""
     sh = shingles_expr(F.col(text_col), shingle_n)
+    sig_e = (minhash_signature_xxhash_expr(sh, n_hashes)
+             if hash_family == "xxhash64"
+             else minhash_signature_expr(sh, n_hashes))
     sigs = docs.select(
         F.col(id_col).alias("id"),
         sh.alias("ws"),
-        minhash_signature_expr(sh, n_hashes).alias("sig"),
+        sig_e.alias("sig"),
     )
     return banded_pairs(sigs, n_hashes // band_size, band_size).filter(
         F.col("jac") >= verify_jaccard
@@ -128,8 +154,17 @@ def banded_buckets(sigs: DataFrame, n_bands: int, band_size: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
+                        # family-agnostic band key: stringify the band's
+                        # signature slice (no-op for the md5 string arm;
+                        # casts bigints for the xxhash64 arm)
                         F.md5(
-                            F.array_join(F.slice(F.col("sig"), b * band_size + 1, band_size), "|")
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * band_size + 1, band_size),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "|",
+                            )
                         ).alias("band_hash"),
                     )
                     for b in range(n_bands)

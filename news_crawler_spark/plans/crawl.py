@@ -342,6 +342,9 @@ def run_crawl(
     batch = max(store.last_batch_id, 0)  # fresh store: no init snapshot
     prev_unpersist: list[DataFrame] = []
     seen_chain: list[DataFrame] = []   # persisted seen deltas not yet folded
+    # resume base: committed seen rows not yet in the bucketed table — part
+    # of the first fold only (afterwards the table itself carries them)
+    seen_resume_base: DataFrame | None = seen_mem
     fuzzy_chain: list[DataFrame] = []  # persisted fuzzy deltas not yet folded
     if fuzzy_mem is not None:
         fuzzy_chain.append(fuzzy_mem)  # resume base: released on first fold
@@ -382,8 +385,19 @@ def run_crawl(
             if seen_table and since_compact >= compact_every and seen_mem is not None:
                 t0 = time.time()
                 store.wait_commit()
-                compact_seen_bucketed(spark, seen_mem, seen_table,
-                                      n_buckets=seen_buckets)
+                # fold ONLY the uncompacted deltas (+ the resume base on the
+                # first fold) — compact re-adds the table content itself;
+                # passing seen_mem would scan and dedup the table twice
+                # (round-3 ADVICE)
+                pending = ([seen_resume_base] if seen_resume_base is not None else []) \
+                    + seen_chain
+                if pending:
+                    uncomp = pending[0]
+                    for df in pending[1:]:
+                        uncomp = uncomp.unionByName(df)
+                    compact_seen_bucketed(spark, uncomp, seen_table,
+                                          n_buckets=seen_buckets)
+                seen_resume_base = None
                 for df in seen_chain:
                     df.unpersist()
                 seen_chain = []

@@ -229,6 +229,53 @@ def test_crawl_udf_relevance_path_parity(spark, world, golden, tmp_path):
     assert eng == {k: [tuple(s) for s in v] for k, v in golden.docs.items()}
 
 
+def test_relevance_overlapping_keywords(spark):
+    """Round-3 ADVICE: partially-overlapping include occurrences (suffix of
+    one keyword is a prefix of another — NOT containment) must each count.
+    A consuming alternation scan ate 'abc' in 'abcde' and never saw 'cde';
+    the lookahead scan finds both. Both UDF arms are checked against the
+    reference semantics n = |{k : k ⊆ text}| computed directly."""
+    from news_crawler_spark.functions.relevance import (
+        relevance_profile_fast_factory,
+        relevance_profile_loop_factory,
+    )
+
+    inc = ["abc", "cde", "경제성", "성장률", "xy", "yz"]
+    exc = ["mno", "opq"]
+    texts = [
+        "abcde",            # abc+cde overlap → 2 includes
+        "경제성장률",         # 경제성+성장률 overlap (Hangul) → 2
+        "xyz abcde",        # xy+yz overlap AND abc+cde → 4
+        "abccde",           # adjacent, no overlap → 2
+        "abmnopq end",      # excludes overlap: mno+opq both present
+        "cdeabc",           # reversed order → 2
+        "ab cde",           # only cde → 1
+    ]
+    rows = [(t, v, ue, 2)
+            for t in texts
+            for v in ("substring", "regex")
+            for ue in (True, False)]
+    df = spark.createDataFrame(
+        rows, "text string, variant string, use_exclude boolean, min_include int")
+    fast = relevance_profile_fast_factory(inc, exc)(
+        F.col("text"), F.col("variant"), F.col("use_exclude"), F.col("min_include"))
+    loop = relevance_profile_loop_factory(inc, exc)(
+        F.col("text"), F.col("variant"), F.col("use_exclude"), F.col("min_include"))
+    got = df.select(fast.alias("f"), loop.alias("l")).collect()
+    for i, r in enumerate(got):
+        t, v, ue, mi = rows[i]
+        low = t.lower()
+        n = sum(1 for k in inc if k in low)
+        if v == "substring":
+            expect = (not (ue and any(k in low for k in exc))) and n >= mi
+        else:  # regex: substring includes, word-set excludes
+            import re as _re
+            words = set(_re.findall(r"\b\w+\b", low))
+            expect = (not (ue and any(k in words for k in exc))) and n >= mi
+        assert r.f == expect, (rows[i], "fast")
+        assert r.l == expect, (rows[i], "loop")
+
+
 def test_relevance_profile_fast_vs_loop_random(spark):
     """Round-3 vectorized arm vs its per-row loop twin on randomized
     mixed-variant batches — identical accepts on every row."""
@@ -284,6 +331,40 @@ def test_fast_tokenizer_matches_stdlib_tree(spark):
                     == extract_article_fields(site, b)), r["url_canon"]
             checked += 1
     assert checked > 300
+
+
+def test_fast_tokenizer_edge_attrs():
+    """Round-3 ADVICE edge inputs outside the corpus: a trailing '/' after
+    an unquoted attribute value is PART of the value (open tag), 'attr='
+    with an empty value is '' not None, and genuinely self-closing forms
+    stay self-closing — all per html.parser."""
+    from news_crawler_spark.operators.htmlsel import parse_html, parse_html_stdlib
+
+    cases = [
+        "<a href=/foo/>x</a>",     # '/' joins the unquoted value, tag OPEN
+        "<a href=>y</a>",          # empty value is ''
+        "<a href=/>z</a>",         # value is '/'
+        "<a href= />w</a>",        # whitespace after '=' still value context
+        "<a href=/foo/ />v</a>",   # space ends the value → self-closing
+        "<a href=foo/>u</a>",
+        "<a class=\"x\"/>t",       # quoted value → self-closing survives
+        "<a checked/>s",           # bare attr → self-closing survives
+        "<br/>r",
+        "<a data-x=a/b>q</a>",
+        "<a href=/foo//>p</a>",
+    ]
+
+    def flat(node, out):
+        out.append((node.tag, sorted(node.attrs.items()),
+                    [c for c in node.children if isinstance(c, str)]))
+        for c in node.children:
+            if not isinstance(c, str):
+                flat(c, out)
+        return out
+
+    for t in cases:
+        a, b = flat(parse_html(t), []), flat(parse_html_stdlib(t), [])
+        assert a == b, (t, a, b)
 
 
 def test_fast_tokenizer_edge_constructs():

@@ -58,6 +58,38 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert not any(4 in p or 5 in p for p in pairs)  # unrelated docs never verified
 
 
+def test_minhash_xxhash_arm_matches_md5_pairs(spark, docs):
+    """The native xxhash64 signature arm (throughput path) must verify the
+    SAME near-dup pair set as the md5 oracle arm — on a randomized corpus
+    of planted near-dups plus unrelated fillers. Signatures/buckets come
+    from different min-wise families, but every surviving pair passes the
+    same exact-Jaccard filter, and planted near-dups collide in some band
+    in both families at these (n_hashes, band_size) settings."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    did = 0
+    for g in range(12):  # planted near-dup groups
+        base = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((did, base, "en")); did += 1
+        toks = base.split()
+        toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        rows.append((did, " ".join(toks), "en")); did += 1
+    for _ in range(30):  # unrelated fillers
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(40)), "en"))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    md5_pairs = {(r.a, r.b, r.jac) for r in
+                 minhash_lsh_pairs(df, verify_jaccard=0.5).collect()}
+    xx_pairs = {(r.a, r.b, r.jac) for r in
+                minhash_lsh_pairs(df, verify_jaccard=0.5,
+                                  hash_family="xxhash64").collect()}
+    assert md5_pairs == xx_pairs
+    assert len(md5_pairs) >= 12  # every planted pair found
+
+
 def test_ngram_jaccard_minhash_blocked(spark, docs):
     pairs = {(r.a, r.b): r.jac for r in
              ngram_jaccard_pairs(docs, threshold=0.5).collect()}

@@ -3,13 +3,23 @@ variant): run the SAME crawl job on the SAME parquet world at local[N]
 and local[4N] in separate JVMs, report throughput at both plus the
 scaling efficiency (speedup / 4), and write BENCH/BASELINE.md.
 
-Usage: python tools/scaling_bench.py [N] [scale] [site_mult] [K]
-Defaults: N=2 (→ 2 vs 8 cores; this host is noisy past ~8-16
-threads — CLAUDE.md), scale=8, mult=96, K=128.
+Protocol (CLAUDE.md host-noise rules, round-3 VERDICT #1):
+* fresh `python -c` subprocess per measurement — one JVM can't honestly
+  size thread pools/shuffle partitions/memory for two parallelism levels;
+* REPS repetitions per arm, arms interleaved (lo, hi, lo, hi, …) so a
+  load spike hits both arms equally; efficiency is computed from the
+  MIN wall per arm (min-of-N is the protocol: external load only ever
+  adds time);
+* every run's raw JSON (including the per-stage wall breakdown the crawl
+  loop already records) is APPENDED to BENCH/scaling_history.jsonl —
+  evidence accretes like BENCH_rNN.json, it is never overwritten;
+* BENCH/BASELINE.md is regenerated from the full history: current
+  min-of-N table up top, per-run history below.
 
-Each measurement is a fresh `python -c` subprocess so JVM thread pools,
-shuffle partitions, and memory are sized for that parallelism level only
-— one process can't honestly measure both."""
+Usage: python tools/scaling_bench.py [N] [scale] [site_mult] [K] [reps]
+Defaults: N=2 (→ 2 vs 8 cores; this host is noisy past ~8-16
+threads — CLAUDE.md), scale=8, mult=96, K=128, reps=3.
+"""
 
 from __future__ import annotations
 
@@ -18,8 +28,11 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
+from collections import Counter
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HISTORY = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
 
 RUN_SNIPPET = """
 import json, shutil, time, sys
@@ -38,11 +51,18 @@ res = run_crawl(spark, world, store, use_bloom=True, pages_per_batch={K},
                 cache_corpus=True)
 wall = time.time() - t0
 fetched = res.dispatched + res.accepted
+stages = {{}}
+for b in res.per_batch:
+    for k, v in b["wall_ms"].items():
+        stages[k] = stages.get(k, 0) + v
 print("RESULT " + json.dumps({{
     "cores": {cores}, "wall_s": round(wall, 2),
     "fetched": fetched, "accepted": res.accepted,
     "fetched_urls_per_sec": round(fetched / wall, 1),
     "frontier_rows_per_sec": round(res.frontier_rows / wall, 1),
+    "batches": res.batches,
+    "prelude_s": round(res.prelude_s, 2),
+    "stage_ms": stages,
 }}))
 spark.stop()
 """
@@ -67,70 +87,153 @@ def run_py(snippet: str) -> str:
     return out.stdout
 
 
+def load_history() -> list[dict]:
+    if not os.path.exists(HISTORY):
+        return []
+    with open(HISTORY) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def append_history(entry: dict) -> None:
+    os.makedirs(os.path.dirname(HISTORY), exist_ok=True)
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def render_md() -> None:
+    """Regenerate BENCH/BASELINE.md from the FULL history file — newest
+    protocol run up top, every prior run preserved below."""
+    hist = load_history()
+    runs = [h for h in hist if h.get("kind") == "pipeline_pair"]
+    if not runs:
+        return
+    latest = runs[-1]
+    lo_min = min(r["wall_s"] for r in latest["lo_runs"])
+    hi_min = min(r["wall_s"] for r in latest["hi_runs"])
+    lo_best = min(latest["lo_runs"], key=lambda r: r["wall_s"])
+    hi_best = min(latest["hi_runs"], key=lambda r: r["wall_s"])
+    n, n4 = latest["cores_lo"], latest["cores_hi"]
+    speedup = lo_min / hi_min
+    eff = speedup / (n4 / n)
+
+    lines = [
+        "# BENCH/BASELINE — measured results",
+        "",
+        "## Scaling efficiency (north_rule two-cluster-size criterion, sandbox variant)",
+        "",
+        f"Same job, same parquet world (synth scale={latest['scale']}, "
+        f"site_mult={latest['mult']} ⇒ {latest['mult'] * 10} hosts, "
+        f"K={latest['K']} pages/micro-batch), two parallelism levels in",
+        "separate fresh JVMs, arms interleaved, **min of "
+        f"{len(latest['lo_runs'])} runs per arm** (CLAUDE.md host-noise",
+        "protocol). The accepted-document set is identical at every run",
+        "(asserted) — parallelism changes throughput, never results.",
+        "",
+        "| cores | wall (s), min | all runs (s) | fetched URLs/s (best) | frontier rows/s (best) |",
+        "|---|---|---|---|---|",
+        f"| local[{n}] | {lo_min} | "
+        f"{', '.join(str(r['wall_s']) for r in latest['lo_runs'])} | "
+        f"{lo_best['fetched_urls_per_sec']} | {lo_best['frontier_rows_per_sec']} |",
+        f"| local[{n4}] | {hi_min} | "
+        f"{', '.join(str(r['wall_s']) for r in latest['hi_runs'])} | "
+        f"{hi_best['fetched_urls_per_sec']} | {hi_best['frontier_rows_per_sec']} |",
+        "",
+        f"- speedup {n}→{n4} cores: **{speedup:.2f}×** (ideal {n4 // n}×)",
+        f"- scaling efficiency: **{eff:.2f}** — target ≥ 0.8 (BASELINE.json)",
+        "",
+        "Per-stage wall breakdown of the best run per arm (ms, summed over",
+        "windows; from the crawl loop's per-window stage clock):",
+        "",
+        "| stage | local[{}] ms | local[{}] ms | ratio |".format(n, n4),
+        "|---|---|---|---|",
+    ]
+    stages = sorted(set(lo_best.get("stage_ms", {})) | set(hi_best.get("stage_ms", {})))
+    for st in stages:
+        a = lo_best.get("stage_ms", {}).get(st, 0)
+        b = hi_best.get("stage_ms", {}).get(st, 0)
+        lines.append(f"| {st} | {a} | {b} | {a / b if b else float('inf'):.2f} |")
+    lines += [
+        "",
+        "## Reference comparison",
+        "",
+        "The reference's implied ceiling is 0.1–5 fetched URLs/sec per site",
+        "process (sleep- and thread-bound; BASELINE.md rows 1–5). This engine",
+        f"sustains {hi_best['fetched_urls_per_sec']} fetched URLs/s on one node at",
+        f"local[{n4}] with exact crawl-order/URL-seen/span parity",
+        "(tests/test_parity.py), and the per-host politeness budget is enforced",
+        "by the scheduler rather than wall-clock sleeps — throughput scales with",
+        "hosts and cores, not with per-process sleep budgets.",
+        "",
+        "## History (all protocol runs, oldest first — evidence accretes)",
+        "",
+        "| when (unix) | scale/mult/K | cores | walls (s) | min eff |",
+        "|---|---|---|---|---|",
+    ]
+    for r in runs:
+        lmin = min(x["wall_s"] for x in r["lo_runs"])
+        hmin = min(x["wall_s"] for x in r["hi_runs"])
+        e = (lmin / hmin) / (r["cores_hi"] / r["cores_lo"])
+        lines.append(
+            f"| {r['ts']} | {r['scale']}/{r['mult']}/{r['K']} "
+            f"| {r['cores_lo']}v{r['cores_hi']} "
+            f"| {', '.join(str(x['wall_s']) for x in r['lo_runs'])} vs "
+            f"{', '.join(str(x['wall_s']) for x in r['hi_runs'])} | {e:.2f} |"
+        )
+    lines += [
+        "",
+        "Round-2 context (from git history, commit c00bb6a): mult=96 min-of-2",
+        "gave 0.54, mult=384 min-of-2 gave 0.76 (local[2] 320.6 s vs local[8]",
+        "104.8 s) under external loadavg 3–6. Round-3's single unprotocoled",
+        "run reported 0.33 and is superseded by the table above.",
+        "",
+        f"Raw history: `BENCH/scaling_history.jsonl` ({len(hist)} entries).",
+        "",
+    ]
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_path}\nefficiency={eff:.2f}")
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 8.0
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 96
     K = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
 
     tmp = tempfile.mkdtemp(prefix="scaling_")
     world_dir = f"{tmp}/world"
     print(f"building world scale={scale} mult={mult} …", flush=True)
     run_py(BUILD_SNIPPET.format(repo=REPO, world_dir=world_dir, scale=scale, mult=mult))
 
-    results = {}
-    for cores in (n, 4 * n):
-        store_dir = f"{tmp}/store_{cores}"
-        print(f"running crawl at local[{cores}] …", flush=True)
-        out = run_py(RUN_SNIPPET.format(
-            repo=REPO, cores=cores, world_dir=world_dir, store_dir=store_dir, K=K
-        ))
-        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
-        results[cores] = json.loads(line[len("RESULT "):])
-        print(" ", results[cores], flush=True)
+    runs: dict[int, list[dict]] = {n: [], 4 * n: []}
+    seq = 0
+    for rep in range(reps):
+        for cores in (n, 4 * n):  # interleaved arms
+            seq += 1
+            store_dir = f"{tmp}/store_{cores}_{rep}"
+            print(f"[rep {rep + 1}/{reps}] crawl at local[{cores}] …", flush=True)
+            out = run_py(RUN_SNIPPET.format(
+                repo=REPO, cores=cores, world_dir=world_dir,
+                store_dir=store_dir, K=K
+            ))
+            line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")][-1]
+            r = json.loads(line[len("RESULT "):])
+            runs[cores].append(r)
+            print(" ", {k: r[k] for k in ("wall_s", "fetched_urls_per_sec")}, flush=True)
 
-    lo, hi = results[n], results[4 * n]
-    assert lo["accepted"] == hi["accepted"], "parallelism changed the result set!"
-    speedup = lo["wall_s"] / hi["wall_s"]
-    efficiency = speedup / 4.0
-    # throughput-ratio form of the same number
-    thr_eff = (hi["fetched_urls_per_sec"] / lo["fetched_urls_per_sec"]) / 4.0
+    accepted = {r["accepted"] for arm in runs.values() for r in arm}
+    assert len(accepted) == 1, f"parallelism changed the result set! {accepted}"
 
-    md = f"""# BENCH/BASELINE — measured results
-
-## Scaling efficiency (north_rule two-cluster-size criterion, sandbox variant)
-
-Same job, same parquet world (synth scale={scale}, site_mult={mult} ⇒
-{mult * 10} hosts, K={K} pages/micro-batch), two parallelism levels in
-separate JVMs. The accepted-document set is identical at both levels
-(asserted) — parallelism changes throughput, never results.
-
-| cores | wall (s) | fetched URLs/s | frontier rows/s |
-|---|---|---|---|
-| local[{n}] | {lo['wall_s']} | {lo['fetched_urls_per_sec']} | {lo['frontier_rows_per_sec']} |
-| local[{4 * n}] | {hi['wall_s']} | {hi['fetched_urls_per_sec']} | {hi['frontier_rows_per_sec']} |
-
-- speedup {n}→{4 * n} cores: **{speedup:.2f}×** (ideal 4×)
-- scaling efficiency: **{efficiency:.2f}** (wall-clock form) / {thr_eff:.2f}
-  (throughput form) — target ≥ 0.8 (BASELINE.json)
-
-## Reference comparison
-
-The reference's implied ceiling is 0.1–5 fetched URLs/sec per site
-process (sleep- and thread-bound; BASELINE.md rows 1–5). This engine
-sustains {hi['fetched_urls_per_sec']} fetched URLs/s on one node at
-local[{4 * n}] with exact crawl-order/URL-seen/span parity
-(tests/test_parity.py), and the per-host politeness budget is enforced
-by the scheduler rather than wall-clock sleeps — throughput scales with
-hosts and cores, not with per-process sleep budgets.
-
-Raw: {json.dumps(results)}
-"""
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "w") as f:
-        f.write(md)
-    print(f"wrote {out_path}\nefficiency={efficiency:.2f}")
+    entry = {
+        "kind": "pipeline_pair", "ts": int(time.time()),
+        "scale": scale, "mult": mult, "K": K,
+        "cores_lo": n, "cores_hi": 4 * n,
+        "lo_runs": runs[n], "hi_runs": runs[4 * n],
+    }
+    append_history(entry)
+    render_md()
 
 
 if __name__ == "__main__":
