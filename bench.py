@@ -121,6 +121,74 @@ def main() -> None:
     )
     timings["d02_minhash_lsh_xxhash"] = round(_timed_count(xx), 3)
 
+    # ---- ANN evidence at bench scale (round-3 VERDICT task 8): recall +
+    # candidate-pruning factor MEASURED at sf0.1, not derived. The synth
+    # embeddings are near-uniform on the sphere (no pairs above cos 0.6),
+    # so the high-threshold truth set is planted: every 10th vector gets
+    # a deterministic jittered twin at cos≈0.944 (operators/ann_eval.py),
+    # and both index families must recover those pairs.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from news_crawler_spark.operators.ann_eval import plant_twins
+    from news_crawler_spark.operators.similarity import (
+        ivf_assign, ivf_candidates, ivf_train, sign_lsh_candidate_pairs)
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    ann_world = plant_twins(em).persist()
+    n_ann = ann_world.count()
+    n_twins = ann_world.filter(F.col("vec_id") >= 100_000).count()
+    all_pairs = n_ann * (n_ann - 1) / 2
+
+    # (a) banded sign-LSH in its high-threshold dedup regime: B=8 × T=6
+    # at cos ≥ 0.9 (recall math in similarity.py: p≈0.89 ⇒ 1-(1-p^8)^6 ≈ 0.95)
+    t0 = time.time()
+    lsh_cand = sign_lsh_candidate_pairs(
+        ann_world, dim=64, n_bits=8, n_tables=6).persist()
+    n_lsh_cand = lsh_cand.count()
+    lsh_hits = lsh_cand.filter(
+        (F.col("cos") >= 0.9) & (F.col("b") == F.col("a") + 100_000)).count()
+    lsh_wall = time.time() - t0
+    lsh_cand.unpersist()
+    timings["ann_sign_lsh_b8t6"] = round(lsh_wall, 3)
+
+    # (b) IVF nprobe=2 over 32 spherical-k-means centroids: probe with the
+    # twins, truth = the original appearing in the probe's top-5
+    t0 = time.time()
+    cent = ivf_train(ann_world, n_centroids=32, iters=10)
+    assigned = ivf_assign(ann_world, cent).persist()
+    probes = ann_world.filter(F.col("vec_id") >= 100_000).select(
+        F.col("vec_id").alias("qid"))
+    ivf_cand = ivf_candidates(assigned, cent, probes, nprobe=2).persist()
+    n_ivf_cand = ivf_cand.count()
+    w_ann = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("vec_id"))
+    ivf_hits = (
+        ivf_cand.withColumn("r", F.row_number().over(w_ann))
+        .filter((F.col("r") <= 5) & (F.col("vec_id") == F.col("qid") - 100_000))
+        .count()
+    )
+    ivf_wall = time.time() - t0
+    ivf_cand.unpersist(); assigned.unpersist(); ann_world.unpersist()
+    timings["ann_ivf_train_nprobe2"] = round(ivf_wall, 3)
+
+    ann_block = {
+        "n_vectors": n_ann,
+        "planted_pairs": n_twins,
+        "sign_lsh": {
+            "n_bits": 8, "n_tables": 6, "threshold": 0.9,
+            "recall": round(lsh_hits / n_twins, 3),
+            "candidates": n_lsh_cand,
+            "pruning_vs_all_pairs": round(all_pairs / n_lsh_cand, 1),
+            "wall_s": round(lsh_wall, 2),
+        },
+        "ivf": {
+            "n_centroids": 32, "kmeans_iters": 10, "nprobe": 2, "k": 5,
+            "recall": round(ivf_hits / n_twins, 3),
+            "candidates": n_ivf_cand,
+            "pruning_vs_brute_force": round(n_twins * (n_ann - 1) / n_ivf_cand, 1),
+            "wall_s": round(ivf_wall, 2),
+        },
+    }
+
     # ---- frontier hot path (the per-executor shape at 10^10 URLs) -------
     # Measured BEFORE the crawl arms (round-3 VERDICT: running it after
     # the 33-window multiwindow arm polluted the JVM — checkpoint blocks,
@@ -231,6 +299,7 @@ def main() -> None:
             "wall_s": round(hot_wall, 2),
             "urls_per_sec": round(n_hot / hot_wall, 0),
         },
+        "ann": ann_block,
         "scaling": _scaling_from_artifact(),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
     }))

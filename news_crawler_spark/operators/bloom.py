@@ -164,19 +164,33 @@ BROADCAST_SHARD_BYTES = 64 << 20  # ≤64 MiB of filter → ship in the UDF clos
 
 def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
                     url_col: str = "url_canon") -> DataFrame:
-    """Small-filter probe: shard bits ride the UDF closure (scalar pandas
-    UDF, fuses into the existing stage — zero extra shuffles). The
-    cogrouped ``probe`` is the big-filter path; same bit semantics.
-    ``n_shards`` is the CONFIGURED shard count (routing modulus) — the
-    committed rows may cover fewer shards (empty shards are absent)."""
-    shard_bits = {int(r["shard_id"]): np.frombuffer(r["bits"], dtype=np.uint8)
-                  for r in shard_rows}
-    n_bits = np.uint64(int(shard_rows[0]["n_bits"]))
-    k = int(shard_rows[0]["n_hashes"])
+    """Small-filter probe as a scalar pandas UDF (fuses into the existing
+    stage — zero extra shuffles). The shard bits travel as an explicit
+    ``sc.broadcast`` — NOT in the UDF closure: closure bytes are
+    re-serialized into every task (the crawl profile showed 1 MiB tasks
+    on every stage touching the probe, with the driver paying that
+    serialization serially), while a broadcast ships once per executor
+    and is cached by the python workers across tasks. The cogrouped
+    ``probe`` is the big-filter path; same bit semantics. ``n_shards`` is
+    the CONFIGURED shard count (routing modulus) — the committed rows may
+    cover fewer shards (empty shards are absent)."""
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
+
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast({
+        "bits": {int(r["shard_id"]): bytes(r["bits"]) for r in shard_rows},
+        "n_bits": int(shard_rows[0]["n_bits"]),
+        "k": int(shard_rows[0]["n_hashes"]),
+    })
 
     @pandas_udf("boolean")
     def bloom_maybe_seen(urls: pd.Series) -> pd.Series:
+        v = bc.value
+        shard_bits = {s: np.frombuffer(b, dtype=np.uint8)
+                      for s, b in v["bits"].items()}
+        n_bits = np.uint64(v["n_bits"])
+        k = v["k"]
         h1, h2 = _h12(urls)
         sid = h1 % np.uint64(n_shards)
         # urls routed to a shard with no committed bits are definitely new

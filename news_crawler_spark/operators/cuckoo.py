@@ -80,16 +80,24 @@ def _lookup(table: np.ndarray, fp: np.ndarray, i1: np.ndarray, nb: np.uint64) ->
 
 def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
                     url_col: str = "url_canon") -> DataFrame:
-    """Adds ``maybe_seen``; shard tables ride the UDF closure."""
-    tables = {
-        int(r["shard_id"]): np.frombuffer(r["table"], dtype=np.uint16).reshape(-1, SLOTS)
-        for r in shard_rows
-    }
-    nb = np.uint64(int(shard_rows[0]["n_buckets"]))
+    """Adds ``maybe_seen``; shard tables travel as an ``sc.broadcast``
+    (not UDF-closure bytes — closure bytes re-serialize into every task;
+    a broadcast ships once per executor and python workers cache it)."""
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
+
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast({
+        "tables": {int(r["shard_id"]): bytes(r["table"]) for r in shard_rows},
+        "n_buckets": int(shard_rows[0]["n_buckets"]),
+    })
 
     @pandas_udf("boolean")
     def cuckoo_maybe_seen(urls: pd.Series) -> pd.Series:
+        v = bc.value
+        tables = {s: np.frombuffer(b, dtype=np.uint16).reshape(-1, SLOTS)
+                  for s, b in v["tables"].items()}
+        nb = np.uint64(v["n_buckets"])
         fp, h1 = _fingerprints(urls)
         sid = h1 % np.uint64(n_shards)
         i1 = (h1 // np.uint64(n_shards)) % nb

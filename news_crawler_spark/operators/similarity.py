@@ -77,6 +77,58 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    vectors: DataFrame,
+    n_centroids: int = 32,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means centroid training (the piece real IVF indexes
+    need before ``ivf_assign``): init = the ``n_centroids`` lowest-id
+    vectors (deterministic), then ``iters`` rounds of argmax-cos
+    assignment → per-cluster mean → renormalize. Centroids are tiny
+    (n_centroids × dim) so they live on the driver between rounds and
+    ride a broadcast into each assignment — the standard Spark k-means
+    shape (one bounded collect per round, never a collect of the data).
+    Returns (cid, cvec) like the literals e03/e05 use.
+
+    Note: distributed float means are partition-order-dependent at the
+    last ulp, so trained centroids are deterministic only up to float
+    summation order — fine for recall/pruning benches, which is why the
+    oracle-gated queries keep their fixed literal centroids."""
+    spark = vectors.sparkSession
+    init = [
+        [float(x) for x in r[1]]
+        for r in vectors.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+    def _norm(v: list) -> list:
+        s = sum(x * x for x in v) ** 0.5 or 1.0
+        return [x / s for x in v]
+
+    cent = [_norm(v) for v in init]
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cent)], "cid int, cvec array<double>"
+        )
+        assigned = ivf_assign(vectors, cent_df, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda x: x["m"]).alias("mean"))
+            .collect()
+        )
+        got = {int(r["cluster"]): _norm(list(r["mean"])) for r in means}
+        cent = [got.get(i, cent[i]) for i in range(n_centroids)]
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent)], "cid int, cvec array<double>"
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     probe_ids: DataFrame,
@@ -114,6 +166,25 @@ def ivf_topk_nprobe(
     ``nprobe`` nearest centroids' clusters. centroids: (cid, cvec), tiny
     and broadcast; candidate pruning is still ~n_centroids/nprobe×. A
     neighbor lives in exactly one cluster, so no pair dedup is needed."""
+    scored = ivf_candidates(assigned, centroids, probe_ids, nprobe=nprobe,
+                            id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_candidates(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    probe_ids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The scored candidate set BEFORE the top-k rank filter — one row
+    per (probe, candidate) pair actually compared, i.e. the measured
+    work the cluster pruning leaves. Exposed so the bench can report
+    the pruning factor (|candidates| vs n_probes·(N−1) brute force) as
+    a first-class measurement."""
     pv = assigned.join(
         probe_ids, on=F.col(id_col) == F.col("qid"), how="inner"
     ).select("qid", F.col(vec_col).alias("qvec"))
@@ -130,11 +201,9 @@ def ivf_topk_nprobe(
         F.broadcast(probes),
         on=[F.col("cluster") == F.col("qcluster"), F.col(id_col) != F.col("qid")],
     )
-    scored = cand.select(
+    return cand.select(
         "qid", "cluster", F.col(id_col), cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cos")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def cosine_near_dup_pairs(
@@ -213,6 +282,26 @@ def sign_lsh_near_dup_pairs(
     Join shape: explode T (table, bucket) keys per vector → equi-join
     per (table, bucket) — never all-pairs; pair dedup before the verify.
     """
+    return sign_lsh_candidate_pairs(
+        vectors, dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    ).filter(F.col("cos") >= threshold)
+
+
+def sign_lsh_candidate_pairs(
+    vectors: DataFrame,
+    dim: int,
+    n_bits: int = 2,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The banded candidate set BEFORE the cosine threshold filter —
+    exposed so the bench can measure the candidate-pruning factor
+    (|candidates| vs N·(N−1)/2 all-pairs) as a first-class number
+    rather than deriving it from the recall math. ``cos`` is already
+    computed per candidate (the verify cost IS the candidate count)."""
     planes = sign_lsh_planes(dim, n_bits, n_tables, seed)
 
     def plane_dot(signs: list[float]) -> Column:
@@ -247,5 +336,4 @@ def sign_lsh_near_dup_pairs(
                     / (F.col("a._n") * F.col("b._n")), 6).alias("cos"),
         )
         .dropDuplicates(["a", "b"])
-        .filter(F.col("cos") >= threshold)
     )

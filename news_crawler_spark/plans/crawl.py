@@ -489,12 +489,18 @@ def run_crawl(
                 disp_side = F.broadcast(disp_side)
             # re-spread the MATCHED pages (small) across all cores before
             # the parse UDF — the map-side join leaves them on the scan's
-            # few partitions, which would serialize parsing
+            # few partitions, which would serialize parsing. Oversplit to
+            # 4× the shuffle width when the window is big enough (≥8 pages
+            # per slice): page HTML sizes vary by site, and at exactly
+            # one-partition-per-core the parse stage idles every core
+            # behind the largest slice (the 2→8-core profile showed ~20%
+            # straggler overhead); tiny windows keep fewer, fuller slices.
+            parse_parts = max(1, min(n_parts * 4, -(-n_due_max // 8)))
             fetched = disp_side.join(
                 win_listings.filter(F.col("http_status") == 200)
                 .select("url_canon", "content", "charset"),
                 on="url_canon", how="inner",
-            ).repartition(n_parts)
+            ).repartition(parse_parts)
             items = parse_listing(fetched).withColumnRenamed("url_canon", "listing_url").persist()
 
             # ---- per-row gates (dedup-independent) → pregate -------------
@@ -541,15 +547,18 @@ def run_crawl(
                 cand_urls = F.broadcast(cand_urls)
             detail = parse_article(
                 articles.join(cand_urls, on="url_canon", how="left_semi")
-                .repartition(n_parts)
+                .repartition(parse_parts)
             ).withColumnRenamed("url_canon", "d_url")
             cand = cand.join(detail, cand["url_canon"] == detail["d_url"], "left").drop("d_url")
 
-            # localCheckpoint (not persist): caches AND severs lineage, so the
+            # LAZY localCheckpoint: caches AND severs lineage, so the
             # analyzer stops re-walking the full gate tree on every downstream
             # transformation (driver-serial, ~3s/window on wide worlds).
-            # Column-pruned first: the gates consumed the wide profile/detail
-            # columns already — caching them would double the checkpoint bytes.
+            # Lazy (round-4): the materializing action is stats1's collect
+            # just below — an eager checkpoint here scheduled a whole extra
+            # job per window for the same single evaluation. Column-pruned
+            # first: the gates consumed the wide profile/detail columns
+            # already — caching them would double the checkpoint bytes.
             t0 = time.time()
             pregate = (
                 cand.withColumn("ts", ts_e)
@@ -558,7 +567,7 @@ def run_crawl(
                         "order_key", "title", "img", "origin", "time_source",
                         "fuzzy_dedup", "d_summary", "d_img", "ts", "row_ok",
                         F.col("href").alias("original_url"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             _clock("pregate_materialize", t0)
 

@@ -322,3 +322,79 @@ def test_sign_lsh_recall_vs_exact(spark):
         em, dim=64, threshold=0.4, n_bits=2, n_tables=8).collect()}
     assert lsh <= exact                       # precision 1.0 by verify
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_plant_twins_deterministic_and_near(spark):
+    """ann_eval.plant_twins: per-row hash-seeded jitter ⇒ identical twin
+    vectors under ANY partitioning, and cos(orig, twin) lands in the
+    high-threshold regime the bench's ann block measures."""
+    from news_crawler_spark.operators.ann_eval import plant_twins
+    from news_crawler_spark.operators.similarity import cosine_expr
+
+    em = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding")
+    a = {r.vec_id: tuple(r.embedding)
+         for r in plant_twins(em).filter(F.col("vec_id") >= 100_000).collect()}
+    b = {r.vec_id: tuple(r.embedding)
+         for r in plant_twins(em.repartition(7)).filter(F.col("vec_id") >= 100_000).collect()}
+    assert a == b and len(a) == 50
+    world = plant_twins(em)
+    pairs = (
+        world.filter(F.col("vec_id") < 100_000).alias("o")
+        .join(world.filter(F.col("vec_id") >= 100_000).alias("t"),
+              F.col("t.vec_id") == F.col("o.vec_id") + 100_000)
+        .select(cosine_expr(F.col("o.embedding"), F.col("t.embedding")).alias("cos"))
+        .collect()
+    )
+    assert len(pairs) == 50
+    assert all(0.90 <= r.cos <= 0.99 for r in pairs)
+
+
+def test_ivf_train_twin_recall_and_pruning(spark):
+    """ivf_train (spherical k-means) + nprobe=2 recovers planted twins
+    while measurably pruning the candidate set — the sf0.01 fast twin of
+    bench.py's ann block (round-3 VERDICT task 8)."""
+    from pyspark.sql import Window
+    from news_crawler_spark.operators.ann_eval import plant_twins
+    from news_crawler_spark.operators.similarity import (
+        ivf_assign, ivf_candidates, ivf_train)
+
+    em = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding")
+    world = plant_twins(em).persist()
+    n = world.count()
+    cent = ivf_train(world, n_centroids=16, iters=5)
+    assert cent.count() == 16
+    assigned = ivf_assign(world, cent)
+    probes = world.filter(F.col("vec_id") >= 100_000).select(
+        F.col("vec_id").alias("qid"))
+    n_twins = probes.count()
+    cand = ivf_candidates(assigned, cent, probes, nprobe=2).persist()
+    n_cand = cand.count()
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("vec_id"))
+    hits = (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") <= 5) & (F.col("vec_id") == F.col("qid") - 100_000))
+        .count()
+    )
+    cand.unpersist(); world.unpersist()
+    assert hits / n_twins >= 0.9                      # recall@5
+    assert n_twins * (n - 1) / n_cand >= 4.0          # real pruning at 16 cells
+
+
+def test_sign_lsh_candidates_expose_pruning(spark):
+    """sign_lsh_near_dup_pairs == candidate_pairs.filter(cos ≥ t), and the
+    candidate set is strictly smaller than all-pairs (the pruning the
+    bench reports is real, not an artifact of the threshold filter)."""
+    from news_crawler_spark.operators.similarity import (
+        sign_lsh_candidate_pairs, sign_lsh_near_dup_pairs)
+
+    em = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = em.count()
+    cand = sign_lsh_candidate_pairs(em, dim=64, n_bits=8, n_tables=6).persist()
+    filtered = {(r.a, r.b) for r in cand.filter(F.col("cos") >= 0.4).collect()}
+    direct = {(r.a, r.b) for r in sign_lsh_near_dup_pairs(
+        em, dim=64, threshold=0.4, n_bits=8, n_tables=6).collect()}
+    assert filtered == direct
+    assert cand.count() < n * (n - 1) / 2
+    cand.unpersist()
