@@ -72,6 +72,7 @@ page_kind partition column.
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 from collections import Counter, defaultdict
 
@@ -272,6 +273,18 @@ def run_crawl(
     prof_map = {site: profile_of(site) for site in world_sites}
     profiles = profiles_df(spark, world_sites)
     n_dim_rows = len(world_sites)
+    if n_dim_rows <= dim_broadcast_max:
+        # Localize the broadcast-sized robots dim: the distributed parse
+        # (or scan) runs exactly ONCE here; per-window broadcasts of a
+        # driver-local relation then rebuild the hash relation without
+        # re-running the corpus-derived robots chain as a cluster job
+        # (two such jobs per window otherwise: robots_gate + the
+        # link-host disallow join). Past the broadcast cap the
+        # distributed shuffle-join path below is unchanged.
+        _r_rows = robots.collect()
+        _r_schema = robots.schema
+        robots.unpersist()
+        robots = spark.createDataFrame(_r_rows, _r_schema)
 
     def _dim(df: DataFrame) -> DataFrame:
         """Host/site-count dimensions broadcast only while they are small;
@@ -567,8 +580,15 @@ def run_crawl(
                         "order_key", "title", "img", "origin", "time_source",
                         "fuzzy_dedup", "d_summary", "d_img", "ts", "row_ok",
                         F.col("href").alias("original_url"))
-                .localCheckpoint(eager=False)
             )
+            pregate_pre = None
+            if os.environ.get("NCS_PHASE_DEBUG"):
+                pregate._jdf.queryExecution().executedPlan()
+                _clock("pregate_plan", t0)
+                if os.environ.get("NCS_PLAN_DEBUG"):
+                    pregate_pre = pregate
+                t0 = time.time()
+            pregate = pregate.localCheckpoint(eager=False)
             _clock("pregate_materialize", t0)
 
             # ---- stats job 1: ONE collect for item counts (A6 input),
@@ -593,6 +613,10 @@ def run_crawl(
             if retries_next is not None:
                 stats1 = stats1.unionByName(_tagged(
                     retries_next.agg(F.count("*").alias("n")), "retry", c=F.col("n")))
+            if os.environ.get("NCS_PHASE_DEBUG"):
+                tp = time.time()
+                stats1._jdf.queryExecution().executedPlan()
+                _clock("stats1_plan", tp)
             stats1 = stats1.toPandas()
             item_counts: dict[tuple[int, int], int] = {}
             soe_rows: list[tuple[int, int, int, str]] = []
@@ -616,6 +640,9 @@ def run_crawl(
                     f"pages in window {batch}; widen window_s or lower K"
                 )
             _clock("stats1", t0)
+            if pregate_pre is not None and batch <= 1:
+                print("PREGATE_FINAL_PLAN\n"
+                      + pregate_pre._jdf.queryExecution().executedPlan().toString())
 
             # ---- driver-side stop replay (exact A6; bounded by window rows)
             t0 = time.time()
@@ -624,19 +651,29 @@ def run_crawl(
             t0 = time.time()
 
             # ---- mask + in-window first-occurrence dedup (D2) -----------
-            limit_df = spark.createDataFrame(
-                pd.DataFrame(
-                    [(s["seed_index"], limits[s["seed_index"]]) for s in active],
-                    columns=["seed_index", "page_limit"],
-                ),
-                "seed_index int, page_limit int",
-            ).coalesce(1)  # parallelize defaults to 32 near-empty slices
-            # left join: retried rows from earlier windows (or stopped
-            # seeds) have no limit row — the window mask applies only to
-            # the current window's pages
-            masked = pregate.join(F.broadcast(limit_df), on="seed_index", how="left").filter(
-                F.col("page_limit").isNull() | (F.col("page") <= F.col("page_limit"))
-            )
+            # The mask join is only built when some stop rule actually
+            # bound below the window's last due page — the common window
+            # (no seed stopped) keeps every row by construction, so the
+            # join + filter would be a per-window no-op job.
+            def _last_due(s) -> int:
+                return min(p1, s["max_pages"]) if s["max_pages"] else p1
+
+            if any(limits[s["seed_index"]] < _last_due(s) for s in active):
+                limit_df = spark.createDataFrame(
+                    pd.DataFrame(
+                        [(s["seed_index"], limits[s["seed_index"]]) for s in active],
+                        columns=["seed_index", "page_limit"],
+                    ),
+                    "seed_index int, page_limit int",
+                ).coalesce(1)  # parallelize defaults to 32 near-empty slices
+                # left join: retried rows from earlier windows (or stopped
+                # seeds) have no limit row — the window mask applies only to
+                # the current window's pages
+                masked = pregate.join(F.broadcast(limit_df), on="seed_index", how="left").filter(
+                    F.col("page_limit").isNull() | (F.col("page") <= F.col("page_limit"))
+                )
+            else:
+                masked = pregate
             # first occurrence among ACCEPTABLE rows only — the oracle claims a
             # URL on accept; a rejected earlier occurrence never blocks
             first_occ = (
@@ -672,7 +709,12 @@ def run_crawl(
                 F.col("seed_index"), F.col("page"),
                 norm_title_e.alias("norm_title"),
                 F.col("fuzzy_dedup"),
-            ).localCheckpoint(eager=False)
+            )
+            if os.environ.get("NCS_PHASE_DEBUG"):
+                tp = time.time()
+                docs._jdf.queryExecution().executedPlan()
+                _clock("docs_plan", tp)
+            docs = docs.localCheckpoint(eager=False)
             # LAZY checkpoint: caches like persist() AND truncates the
             # logical plan at creation (no extra job — stats2 below is
             # the materializing action). Truncation here is structural,

