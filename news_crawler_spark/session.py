@@ -48,7 +48,17 @@ def get_spark(
         # driver-contract queries are written to be correct either way
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size bounds the PEAK bytes a pandas-UDF exchange
+        # holds per core (batch rows × row width, materialized on both
+        # the JVM writer and the python worker). HTML pages run ~5 KiB,
+        # so 10k-row batches were ~50 MiB live per core — at 8 concurrent
+        # tasks that churn beat the cache/allocator hard. Interleaved A/B
+        # at mult=384/K=128: 8-core task time 706.8→577.7 s and wall
+        # 116.8→94.9 s at 2000 rows, while the 2-core arm is unchanged
+        # (456.3 vs 453.2 s) — i.e. this is pure parallel-contention
+        # overhead, and removing it is a direct scaling-efficiency win.
+        # 1000 and 4000 measure the same as 2000 (flat basin).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # long-lived micro-batch drivers: localCheckpoint RDDs and
