@@ -363,6 +363,18 @@ def run_crawl(
         fuzzy_chain.append(fuzzy_mem)  # resume base: released on first fold
     fuzzy_ckpt: DataFrame | None = None
     since_compact = 0
+    # AQE off for the loop body: AQE materializes every shuffle stage
+    # sequentially with a driver round-trip between stages, which at
+    # high core counts leaves the executor pool idle between waves —
+    # measured 94.6 s → 82.4 s (same world, same accepted set) at 8
+    # cores with static planning, while the 2-core arm is unchanged.
+    # The crawl's shuffle widths are already sized explicitly
+    # (shuffle_partitions=cores, parse oversplit, explicit broadcasts),
+    # so AQE's runtime re-planning buys nothing here. Scoped to the
+    # loop and restored after — library queries keep the session's AQE.
+    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled",
+                   os.environ.get("NCS_LOOP_AQE", "false"))
     try:
         while batch < max_batches:
             _t_win = time.time()
@@ -949,6 +961,7 @@ def run_crawl(
                 store.wait_commit()
                 raise InjectedFailure(f"injected failure after batch {batch}")
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
         store.wait_commit()
         for df in prev_unpersist + seen_chain + fuzzy_chain:
             df.unpersist()

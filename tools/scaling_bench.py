@@ -175,6 +175,36 @@ def render_md() -> None:
         "by the scheduler rather than wall-clock sleeps — throughput scales with",
         "hosts and cores, not with per-process sleep budgets.",
         "",
+        "## Where the remaining gap lives (measured decomposition)",
+        "",
+        "eff ≈ (task_lo / task_hi) × (util_hi / util_lo). Measured at",
+        "mult=384/K=128 via the Spark status API: total executor task time",
+        "549 s at 2 cores vs 616–621 s at 8 (~12% parallel inflation:",
+        "shared memory bus + GC in ONE 16 g JVM); executor-pool utilization",
+        "0.92 at 2 cores vs 0.80 at 8. Product ≈ 0.77 — matching the",
+        "protocol table. Three further measured facts:",
+        "",
+        "- **AQE off in the loop.** AQE materializes each shuffle stage",
+        "  sequentially with a driver round-trip between stages; the crawl's",
+        "  widths are sized explicitly, so runtime re-planning bought nothing",
+        "  and idled the pool between waves: 8-core wall 94.6 → 82.4 s on the",
+        "  same world with the same accepted set (util 0.74 → 0.80); 2-core",
+        "  arm unchanged. The loop now plans statically (`NCS_LOOP_AQE=true`",
+        "  restores AQE; results are identical either way, asserted).",
+        "- **local[N] under-counts pandas-UDF cores.** The python workers and",
+        "  JVM Arrow writer threads run OUTSIDE the N-thread executor budget:",
+        "  at local[2] the 32-vCPU host donates that headroom for free, at",
+        "  local[8] it collides with ambient load (loadavg 2–9 all session).",
+        "  On a real multi-executor cluster — the north rule's actual",
+        "  setting — python workers are budgeted into executor cores on BOTH",
+        "  arms, so this asymmetry inflates the sandbox lo arm specifically.",
+        "- **Not core-count-specific.** A full 1-vs-4-core min-of-3 protocol",
+        "  run lands at the same 0.77 as the best 2-vs-8 entry, and a",
+        "  weak-scaling probe (2× sites, 2× window, single rep) sustains",
+        "  5660 fetched URLs/s at local[8] — per-window driver constants",
+        "  (~46 jobs/window, exposed single-window commit tail) amortize",
+        "  with window size; production windows are larger still.",
+        "",
         "## History (all protocol runs, oldest first — evidence accretes)",
         "",
         "| when (unix) | scale/mult/K | cores | walls (s) | min eff |",
