@@ -103,7 +103,7 @@ from ..operators.scheduler import (
 from ..operators.archive import head_fields
 from ..operators.spans import build_spans
 from ..sources.bucketed import compact_seen_bucketed
-from ..sources.store import SnapshotStore
+from ..sources.store import LocalTable, SnapshotStore
 from ..sources.world import profiles_df
 
 SEED_STATE_SCHEMA = "seed_index int, site string, url string, max_pages int, active boolean"
@@ -749,11 +749,23 @@ def run_crawl(
             n_items_total = sum(item_counts.values())
             fuse_stats = n_items_total <= driver_stats_max_rows
             accept_urls = None
+            fz_rows = None
+            pid_counts = None
             if fuse_stats:
-                ac = docs.select("seed_index", "page", "url_canon").toPandas()
+                # site/norm_title/crawl_order piggyback on the same single
+                # collect: the fuzzy-title delta then commits driver-side
+                # (LocalTable) like the seen delta — no per-window job
+                ac = docs.select("seed_index", "page", "url_canon", "site",
+                                 "norm_title", "crawl_order", "fuzzy_dedup",
+                                 F.spark_partition_id().alias("pid")).toPandas()
                 g = ac.groupby(["seed_index", "page"]).size()
                 acc_counts = {(int(k[0]), int(k[1])): int(v) for k, v in g.items()}
                 accept_urls = ac["url_canon"]
+                fz = ac[ac["fuzzy_dedup"]]
+                fz_rows = list(zip(fz["site"], fz["norm_title"],
+                                   (int(x) for x in fz["crawl_order"])))
+                pid_counts = {int(k): int(v)
+                              for k, v in ac.groupby("pid").size().items()}
             else:
                 ac = docs.groupBy("seed_index", "page").agg(F.count("*").alias("n")).toPandas()
                 acc_counts = {
@@ -800,7 +812,13 @@ def run_crawl(
                     delta_rows = [r.asDict() for r in bloom.build_shards(
                         seen_delta, n_shards=n_bloom_shards, version=batch).collect()]
                 shard_rows = bloom.merge_rows(shard_rows, delta_rows)
-                overwrite["bloom_shards"] = bloom.rows_df(spark, shard_rows)
+                # driver rows → pyarrow commit write: no per-window 1-task
+                # Spark job per state table (the K=1 window floor was job
+                # count, not bytes — see LocalTable)
+                overwrite["bloom_shards"] = LocalTable(
+                    [(int(r["shard_id"]), int(r["n_bits"]), int(r["n_hashes"]),
+                      bytes(r["bits"]), int(r["version"])) for r in shard_rows],
+                    bloom.BLOOM_SCHEMA)
             elif seen_filter == "cuckoo":
                 if accept_urls is not None:
                     fps_rows = cuckoo.fps_rows_from_urls(
@@ -810,7 +828,10 @@ def run_crawl(
                         seen_delta, n_shards=n_bloom_shards).collect()]
                 shard_rows = cuckoo.insert_rows(shard_rows, fps_rows,
                                                 n_shards=n_bloom_shards)
-                overwrite["cuckoo_shards"] = cuckoo.rows_df(spark, shard_rows)
+                overwrite["cuckoo_shards"] = LocalTable(
+                    [(int(r["shard_id"]), int(r["n_buckets"]), bytes(r["table"]),
+                      int(r["version"]), int(r["n_items"])) for r in shard_rows],
+                    cuckoo.CUCKOO_SCHEMA)
 
             frontier_rows = [
                 (s["seed_index"], s["site"], s["url"], p1 + 1, s["max_pages"], "pending")
@@ -859,27 +880,37 @@ def run_crawl(
             frontier_log = frontier_log.unionByName(article_log)
 
             # ---- per-partition lineage/metrics (north rule) ---------------
-            part_metrics = docs.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-                F.count("*").alias("rows_out")
-            ).select(
-                F.lit(batch).cast("int").alias("batch_id"),
-                F.lit("accept_partition").alias("stage"),
-                F.col("partition_id").cast("int"),
-                F.lit(n_items_total).cast("long").alias("rows_in"),
-                F.col("rows_out").cast("long"),
-                F.lit(0).cast("long").alias("wall_ms"),
-            )
-            metrics = spark.createDataFrame(
-                [
-                    (batch, "dispatch", -1, n_gated, n_disp,
-                     stage_wall.get("stats1", 0)),
-                    (batch, "parse", -1, n_disp, n_items_total,
-                     stage_wall.get("pregate_materialize", 0)),
-                    (batch, "accept", -1, n_items_total, n_accepted,
-                     stage_wall.get("stats2", 0)),
-                ],
-                METRICS_SCHEMA,
-            ).coalesce(1).unionByName(part_metrics)
+            stage_rows = [
+                (batch, "dispatch", -1, n_gated, n_disp,
+                 stage_wall.get("stats1", 0)),
+                (batch, "parse", -1, n_disp, n_items_total,
+                 stage_wall.get("pregate_materialize", 0)),
+                (batch, "accept", -1, n_items_total, n_accepted,
+                 stage_wall.get("stats2", 0)),
+            ]
+            if pid_counts is not None:
+                # fused window: the partition ids rode the stats2 collect —
+                # the lineage rows are driver-held, no metrics write job
+                metrics = LocalTable(
+                    stage_rows + [
+                        (batch, "accept_partition", pid, n_items_total, n, 0)
+                        for pid, n in sorted(pid_counts.items())
+                    ],
+                    METRICS_SCHEMA)
+            else:
+                part_metrics = docs.groupBy(
+                    F.spark_partition_id().alias("partition_id")
+                ).agg(F.count("*").alias("rows_out")).select(
+                    F.lit(batch).cast("int").alias("batch_id"),
+                    F.lit("accept_partition").alias("stage"),
+                    F.col("partition_id").cast("int"),
+                    F.lit(n_items_total).cast("long").alias("rows_in"),
+                    F.col("rows_out").cast("long"),
+                    F.lit(0).cast("long").alias("wall_ms"),
+                )
+                metrics = spark.createDataFrame(
+                    stage_rows, METRICS_SCHEMA,
+                ).coalesce(1).unionByName(part_metrics)
 
             # S9: the reference maintains a global 50-newest news.json
             # every run (utils.js:18-23); the engine keeps it as an
@@ -891,9 +922,13 @@ def run_crawl(
             ).orderBy(F.desc("ts"), F.col("crawl_order")).limit(50) \
                 .localCheckpoint(eager=False)  # cap the union-of-unions depth
             overwrite["head_list"] = new_head
-            overwrite["seed_state"] = _seed_state_df(spark, seed_state)
-            overwrite["frontier_pending"] = new_frontier
-            overwrite["fuzzy_titles"] = new_fuzzy
+            overwrite["seed_state"] = LocalTable(
+                [tuple(s[k] for k in ("seed_index", "site", "url",
+                                      "max_pages", "active"))
+                 for s in seed_state],
+                SEED_STATE_SCHEMA)
+            overwrite["frontier_pending"] = LocalTable(
+                frontier_rows, FRONTIER_SCHEMA)
             if retries_next is not None:
                 overwrite["retry_pending"] = retries_next
             _clock("prep", t0)
@@ -919,9 +954,22 @@ def run_crawl(
                 append={
                     "documents": docs.drop("seed_index", "page", "norm_title",
                                            "fuzzy_dedup").coalesce(w_docs),
-                    "seen": seen_delta.coalesce(w_docs),
+                    # fused windows already collected the accepted URLs for
+                    # the stats/filter twins — the seen delta is driver rows
+                    "seen": (LocalTable([(u,) for u in accept_urls],
+                                        "url_canon string")
+                             if accept_urls is not None
+                             else seen_delta.coalesce(w_docs)),
+                    # append-mode deltas: the old overwrite re-evaluated and
+                    # rewrote the WHOLE fuzzy union chain every window; the
+                    # title set only ever grows, so committed deltas read
+                    # back as the same full set (fused windows: driver rows)
+                    "fuzzy_titles": (LocalTable(fz_rows, FUZZY_SCHEMA)
+                                     if fz_rows is not None
+                                     else fz_delta.coalesce(1)),
                     "frontier_log": frontier_log.coalesce(w_log),
-                    "metrics": metrics.coalesce(1),
+                    "metrics": (metrics if isinstance(metrics, LocalTable)
+                                else metrics.coalesce(1)),
                 },
                 meta={"pages": [p0, p1],
                       "active_seeds": sum(1 for s in seed_state if s["active"]),
@@ -981,17 +1029,6 @@ def run_crawl(
 
 
 # ---------------------------------------------------------------- helpers
-
-def _seed_state_df(spark: SparkSession, seed_state: list[dict]) -> DataFrame:
-    return spark.createDataFrame(
-        pd.DataFrame(
-            [tuple(s[k] for k in ("seed_index", "site", "url", "max_pages", "active"))
-             for s in seed_state],
-            columns=["seed_index", "site", "url", "max_pages", "active"],
-        ),
-        SEED_STATE_SCHEMA,
-    ).coalesce(1)
-
 
 def _stop_replay(
     active: list[dict],

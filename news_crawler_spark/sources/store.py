@@ -34,7 +34,55 @@ import shutil
 import time
 from typing import Iterable
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Spark DDL scalar type → arrow type, chosen so a pyarrow-written file
+# is byte-compatible with the Spark-written versions of the SAME table
+# (append dirs mix producers; readers assume one schema: int stays
+# int32, long int64, timestamps micros-adjusted-to-UTC).
+_DDL_PA = {
+    "int": pa.int32(), "integer": pa.int32(),
+    "bigint": pa.int64(), "long": pa.int64(),
+    "string": pa.string(), "boolean": pa.bool_(),
+    "binary": pa.binary(), "double": pa.float64(),
+    "float": pa.float32(), "timestamp": pa.timestamp("us", tz="UTC"),
+}
+
+
+class LocalTable:
+    """Driver-held rows destined for a snapshot commit.
+
+    The crawl loop's tiny state tables (seed state, frontier, filter
+    shards, the fused seen delta) already live as driver rows; writing
+    them through Spark cost one 1-task cluster job per table per window —
+    at K=1 the commit's job count, not its bytes, was the window floor.
+    A LocalTable is written by the commit thread with pyarrow directly:
+    zero Spark jobs, same parquet bytes-on-disk contract.
+
+    The arrow table is built EAGERLY here (pa.array copies) so the async
+    commit thread never reads driver state the next window is mutating
+    (seed_state dicts, cuckoo shard buffers).
+    """
+
+    def __init__(self, rows: list[tuple], ddl: str):
+        fields = []
+        for part in ddl.split(","):
+            name, typ = part.strip().split(" ", 1)
+            fields.append(pa.field(name, _DDL_PA[typ.strip().lower()]))
+        schema = pa.schema(fields)
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        self.table = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
+
+    def write(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(self.table, os.path.join(path, "part-00000.parquet"),
+                       compression="snappy")
 
 
 class SnapshotStore:
@@ -213,7 +261,10 @@ class SnapshotStore:
 
         def write(job):
             name, df, d, _mode = job
-            df.write.mode("overwrite").parquet(os.path.join(self.root, d))
+            if isinstance(df, LocalTable):
+                df.write(os.path.join(self.root, d))  # driver-side, no job
+            else:
+                df.write.mode("overwrite").parquet(os.path.join(self.root, d))
 
         if jobs:
             with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
