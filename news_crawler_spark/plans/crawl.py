@@ -363,18 +363,26 @@ def run_crawl(
         fuzzy_chain.append(fuzzy_mem)  # resume base: released on first fold
     fuzzy_ckpt: DataFrame | None = None
     since_compact = 0
-    # AQE off for the loop body: AQE materializes every shuffle stage
-    # sequentially with a driver round-trip between stages, which at
-    # high core counts leaves the executor pool idle between waves —
+    # Static planning for BIG windows: AQE materializes every shuffle
+    # stage sequentially with a driver round-trip between stages, which
+    # at high core counts leaves the executor pool idle between waves —
     # measured 94.6 s → 82.4 s (same world, same accepted set) at 8
-    # cores with static planning, while the 2-core arm is unchanged.
-    # The crawl's shuffle widths are already sized explicitly
-    # (shuffle_partitions=cores, parse oversplit, explicit broadcasts),
-    # so AQE's runtime re-planning buys nothing here. Scoped to the
-    # loop and restored after — library queries keep the session's AQE.
+    # cores, 2-core arm unchanged. The crawl's widths are already sized
+    # explicitly there (shuffle_partitions=cores, parse oversplit,
+    # explicit broadcasts), so runtime re-planning buys nothing. SMALL
+    # windows are the opposite case: their per-stage row counts are far
+    # below the configured width, and AQE's partition coalescing is
+    # exactly the right tool (measured at local[32], K=1/mult=12:
+    # 6.8 s/window with AQE vs 11.2 s static — 32-task stages over a
+    # few hundred rows). Threshold: the window's due-page upper bound
+    # must cover the shuffle width with real work. Scoped to the loop,
+    # restored after; NCS_LOOP_AQE overrides either way.
+    _initial_due = sum(1 for s in seed_state if s["active"]) * K
+    _static_plan = _initial_due >= 16 * n_parts
     _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled",
-                   os.environ.get("NCS_LOOP_AQE", "false"))
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        os.environ.get("NCS_LOOP_AQE", "false" if _static_plan else _aqe_prev))
     try:
         while batch < max_batches:
             _t_win = time.time()
