@@ -166,11 +166,20 @@ def render_md() -> None:
     # best single-node throughput across ALL protocol runs (the headline
     # entry is picked by efficiency, whose best pair need not contain the
     # fastest absolute run)
-    best_thr = max(
-        (r for h in runs for r in h["hi_runs"] + h["lo_runs"]
+    best_cfg = {}
+    def _thr_key(pair):
+        h, r = pair
+        return r["fetched_urls_per_sec"]
+    best_h, best_thr = max(
+        ((h, r) for h in runs for r in h["hi_runs"] + h["lo_runs"]
          if "fetched_urls_per_sec" in r),
-        key=lambda r: r["fetched_urls_per_sec"],
+        key=_thr_key,
     )
+    n_reps = len(best_h["hi_runs"])
+    best_cfg = (f"scale={best_h['scale']}, mult={best_h['mult']}, "
+                f"K={best_h['K']}, "
+                + ("min-of-%d protocol entry" % n_reps if n_reps >= 3
+                   else "single-rep probe entry"))
     lines += [
         "",
         "## Reference comparison",
@@ -178,7 +187,8 @@ def render_md() -> None:
         "The reference's implied ceiling is 0.1–5 fetched URLs/sec per site",
         "process (sleep- and thread-bound; BASELINE.md rows 1–5). This engine",
         f"sustains {best_thr['fetched_urls_per_sec']} fetched URLs/s on one node at",
-        f"local[{best_thr['cores']}] with exact crawl-order/URL-seen/span parity",
+        f"local[{best_thr['cores']}] ({best_cfg}; wall {best_thr['wall_s']} s)",
+        "with exact crawl-order/URL-seen/span parity",
         "(tests/test_parity.py), and the per-host politeness budget is enforced",
         "by the scheduler rather than wall-clock sleeps — throughput scales with",
         "hosts and cores, not with per-process sleep budgets.",
