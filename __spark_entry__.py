@@ -7,10 +7,11 @@ discipline: identical column names/aliases both sides, doubles rounded
 at the same precision, md5-based hashing only (reproducible in both
 engines), deterministic tie-breaks on unique keys.
 
-Non-SQL-expressible entries (crawl micro-batch pipeline, multimodal
-stubs) omit the oracle → the driver records the weaker rows-only check;
-their exact-parity coverage lives in tests/ (span/crawl-order/URL-seen
-equality vs the reference model).
+Every entry carries an oracle — including the stateful crawl pipeline
+(golden VALUES derived from the independent pure-Python reference
+model) and the multimodal decode (m01: digest-stub arithmetic; m02:
+real PNG payloads with planted geometry). Exact span/crawl-order/
+URL-seen parity additionally lives in tests/ vs the reference model.
 """
 
 from __future__ import annotations
@@ -532,6 +533,61 @@ def m01_image_meta(spark, sf):
     return image_metadata(media)
 
 
+def m02_png_decode(spark, sf):
+    """Real image decode, oracle-gated (round-4 VERDICT #1/#2): payloads
+    are REAL PNGs synthesized executor-side by ``png_bytes`` with planted
+    (width, height) derived arithmetically from doc_id; ``image_metadata``
+    must route them through the from-scratch CRC/zlib-validating PNG
+    reader (never the digest stub) and recover format='png' plus the true
+    dimensions. n_bytes/digest depend on zlib's compressed output — not
+    DuckDB-expressible — so the oracle pins (format, width, height); the
+    byte-level reader behavior is unit-tested in tests/test_multimodal.py."""
+    from news_crawler_spark.operators.multimodal import image_metadata, png_bytes
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("https://img.example.com/"), F.col("doc_id"),
+                 F.lit(".png")).alias("media_ref"),
+        (F.col("doc_id") % 61 + 1).cast("int").alias("w"),
+        (F.col("doc_id") % 37 + 1).cast("int").alias("h"),
+    )
+
+    def gen(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(payload=[
+                png_bytes(int(a), int(b), fill=int(a) + int(b))
+                for a, b in zip(pdf["w"], pdf["h"])
+            ])
+            yield pdf[["doc_id", "media_ref", "payload"]]
+
+    media = d.mapInPandas(
+        gen, schema="doc_id string, media_ref string, payload binary")
+    return image_metadata(media).select(
+        "doc_id", "media_ref", "format", "width", "height"
+    )
+
+
+def c02_curation_xxhash(spark, sf):
+    """c01's curation chain + near-dup removal on the PRODUCTION hash
+    family (round-4 VERDICT #5): candidate pairs from xxhash64 MinHash
+    bands (JVM-codegen'd integer fold — the 100 TB arm), verified at
+    exact shingle Jaccard ≥ 0.9; the larger doc_id of each verified pair
+    is dropped. The DuckDB oracle reproduces the verifier's RESULT via
+    the md5 band arm (bit-identically reproducible in SQL) — the two
+    arms' verified pair sets are equality-asserted in tests/test_textops
+    and this gate fails loudly if the xxhash banding ever drops a pair."""
+    d = _t(spark, sf, "documents")
+    base = c01_curation_pipeline(spark, sf)
+    pairs = minhash_lsh_pairs(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        n_hashes=8, band_size=4, verify_jaccard=0.9, hash_family="xxhash64",
+    )
+    drop = pairs.select(F.col("b").alias("doc_id")).distinct()
+    return base.join(drop, on="doc_id", how="left_anti")
+
+
 def crawl_flagship(spark, sf):
     """The crawl micro-batch pipeline end-to-end on a tiny synthetic world,
     hash-gated against a DuckDB golden computed by the pure-Python
@@ -623,8 +679,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_token_counts": t03_token_counts,
         "t04_fingerprint": t04_fingerprint,
         "c01_curation_pipeline": c01_curation_pipeline,
+        "c02_curation_xxhash": c02_curation_xxhash,
         "s01_session_windows": s01_session_windows,
         "m01_image_meta": m01_image_meta,
+        "m02_png_decode": m02_png_decode,
         "crawl_flagship": crawl_flagship,
     }
 
@@ -728,6 +786,55 @@ def _k01_sql() -> str:
 
 
 _K01_SQL = _k01_sql()
+
+# d02's oracle arm: md5-per-(shingle×seed) MinHash bands, bit-identical
+# to the engine's md5 family; also the verifier-result oracle c02 reuses
+_D02_SQL = f"""
+            WITH toks AS (SELECT doc_id AS id,
+                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             x -> x <> '') AS tk
+                          FROM documents),
+            w AS (SELECT id,
+                         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                         END AS ws
+                  FROM toks),
+            s AS (SELECT id, ws, [{_MINHASH_SIG}] AS sig FROM w),
+            b AS (SELECT id, ws, t.band_id,
+                         md5(sig[4*t.band_id + 1] || '|' || sig[4*t.band_id + 2] || '|' ||
+                             sig[4*t.band_id + 3] || '|' || sig[4*t.band_id + 4]) AS band_hash
+                  FROM s, unnest([0,1]) AS t(band_id)),
+            cand AS (
+              SELECT DISTINCT l.id AS a, r.id AS b,
+                     round(len(list_intersect(l.ws, r.ws))::DOUBLE /
+                           len(list_distinct(list_concat(l.ws, r.ws))), 6) AS jac
+              FROM b l JOIN b r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.id < r.id)
+            SELECT a, b, jac FROM cand WHERE jac >= 0.9
+        """
+
+_C01_SQL = f"""
+            WITH t AS (SELECT doc_id, text, lang, {_UW} AS toks,
+                              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                       FROM documents),
+            h AS (SELECT doc_id, text, lang, fp,
+                         {_LANG_HITS['de']} AS h_de, {_LANG_HITS['en']} AS h_en,
+                         {_LANG_HITS['es']} AS h_es, {_LANG_HITS['fr']} AS h_fr
+                  FROM t),
+            p AS (SELECT doc_id, lang, fp,
+                         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                              ELSE 'fr' END AS lang_pred,
+                         round((least(len({_WS_RAW})::DOUBLE / 200.0, 1.0)
+                                + len({_WS})::DOUBLE / len({_WS_RAW})) / 2.0, 6) AS quality,
+                         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                  FROM h)
+            SELECT doc_id, fp, lang, quality FROM p
+            WHERE rn = 1 AND lang_pred <> 'und' AND quality >= 0.4
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -849,30 +956,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id::VARCHAR) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY 1
         """,
-        "d02_minhash_lsh": f"""
-            WITH toks AS (SELECT doc_id AS id,
-                                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                             x -> x <> '') AS tk
-                          FROM documents),
-            w AS (SELECT id,
-                         CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-                              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
-                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                         END AS ws
-                  FROM toks),
-            s AS (SELECT id, ws, [{_MINHASH_SIG}] AS sig FROM w),
-            b AS (SELECT id, ws, t.band_id,
-                         md5(sig[4*t.band_id + 1] || '|' || sig[4*t.band_id + 2] || '|' ||
-                             sig[4*t.band_id + 3] || '|' || sig[4*t.band_id + 4]) AS band_hash
-                  FROM s, unnest([0,1]) AS t(band_id)),
-            cand AS (
-              SELECT DISTINCT l.id AS a, r.id AS b,
-                     round(len(list_intersect(l.ws, r.ws))::DOUBLE /
-                           len(list_distinct(list_concat(l.ws, r.ws))), 6) AS jac
-              FROM b l JOIN b r
-                ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.id < r.id)
-            SELECT a, b, jac FROM cand WHERE jac >= 0.9
-        """,
+        "d02_minhash_lsh": _D02_SQL,
         "d03_simhash": f"""
             WITH w AS (SELECT doc_id, {_UW} AS ws FROM documents),
             h AS (SELECT doc_id,
@@ -1031,26 +1115,12 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
             FROM scored QUALIFY rank <= 5
         """,
-        "c01_curation_pipeline": f"""
-            WITH t AS (SELECT doc_id, text, lang, {_UW} AS toks,
-                              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-                       FROM documents),
-            h AS (SELECT doc_id, text, lang, fp,
-                         {_LANG_HITS['de']} AS h_de, {_LANG_HITS['en']} AS h_en,
-                         {_LANG_HITS['es']} AS h_es, {_LANG_HITS['fr']} AS h_fr
-                  FROM t),
-            p AS (SELECT doc_id, lang, fp,
-                         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-                              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
-                              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                              ELSE 'fr' END AS lang_pred,
-                         round((least(len({_WS_RAW})::DOUBLE / 200.0, 1.0)
-                                + len({_WS})::DOUBLE / len({_WS_RAW})) / 2.0, 6) AS quality,
-                         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-                  FROM h)
-            SELECT doc_id, fp, lang, quality FROM p
-            WHERE rn = 1 AND lang_pred <> 'und' AND quality >= 0.4
+        "c01_curation_pipeline": _C01_SQL,
+        "c02_curation_xxhash": f"""
+            WITH base AS ({_C01_SQL}),
+            pairs AS ({_D02_SQL})
+            SELECT doc_id, fp, lang, quality FROM base
+            WHERE doc_id NOT IN (SELECT b FROM pairs)
         """,
         "s01_session_windows": """
             WITH o AS (
@@ -1083,6 +1153,17 @@ def oracle_sql() -> dict[str, str]:
                    16::BIGINT AS n_bytes,
                    dg AS digest
             FROM d
+        """,
+        # m02: payloads are REAL PNGs with arithmetically-planted
+        # geometry — the oracle pins what the from-scratch reader must
+        # recover (n_bytes/digest are zlib-dependent, hence omitted)
+        "m02_png_decode": """
+            SELECT doc_id::VARCHAR AS doc_id,
+                   'https://img.example.com/' || doc_id || '.png' AS media_ref,
+                   'png' AS format,
+                   (doc_id % 61 + 1)::INT AS width,
+                   (doc_id % 37 + 1)::INT AS height
+            FROM documents
         """,
         "p01_html_extract": """
             SELECT 'https://ex.com/list/' || doc_id AS page_url,
@@ -1134,6 +1215,4 @@ def oracle_sql() -> dict[str, str]:
             {_flagship_golden_values()}
             ) AS t(doc_id, url_canon, site, order_rank, ts)
         """,
-        # m01_image_meta: non-SQL-expressible (mapInPandas decode)
-        # → rows-only check.
     }

@@ -38,6 +38,7 @@ HEADLINE = [
     "e01_cosine_topk",
     "e03_ivf_ann",
     "t02_quality",
+    "c02_curation_xxhash",
 ]
 
 CRAWL_SCALE = float(os.environ.get("BENCH_CRAWL_SCALE", "2"))
@@ -81,20 +82,33 @@ def _scaling_from_artifact() -> dict:
                      / min(x["wall_s"] for x in r["hi_runs"]))
                     / (r["cores_hi"] / r["cores_lo"]))
 
-        # headline = best PROTOCOL-compliant entry (min of >=3 per arm);
-        # single-run pairs stay in the trend but can't headline
+        # headline = NEWEST protocol-compliant entry (min of >=3 per arm),
+        # preferring taskset-pinned (equal core accounting) entries — a
+        # code regression can lower it (round-4 ADVICE: max-over-history
+        # could never go down). All-time best reported separately.
         full = [r for r in runs if len(r["lo_runs"]) >= 3] or runs
-        best = max(full, key=_eff)
+        pinned = [r for r in full if r.get("pinned")]
+        best = (pinned or full)[-1]
         out["pipeline_eff"] = round(_eff(best), 3)
         out["cores"] = [best["cores_lo"], best["cores_hi"]]
         out["config"] = {k: best[k] for k in ("scale", "mult", "K")}
         out["runs_per_arm"] = len(best["lo_runs"])
+        out["pinned"] = bool(best.get("pinned"))
+        out["commit"] = best.get("commit")
+        alltime = max(full, key=_eff)
+        out["alltime_best"] = {
+            "eff": round(_eff(alltime), 3),
+            "cores": [alltime["cores_lo"], alltime["cores_hi"]],
+            "pinned": bool(alltime.get("pinned")),
+            "ts": alltime["ts"], "commit": alltime.get("commit"),
+        }
         # per-entry trend (efficiency vs per-core work — the weak-scaling
         # curve the 100 TB story rests on); entries accrete, never replace
         out["trend"] = [
             {
                 "ts": r["ts"], "mult": r["mult"], "K": r["K"],
                 "runs_per_arm": len(r["lo_runs"]),
+                "pinned": bool(r.get("pinned")),
                 "eff": round(_eff(r), 3),
             }
             for r in runs
@@ -168,9 +182,19 @@ def main() -> None:
     timings["ann_sign_lsh_b8t6"] = round(lsh_wall, 3)
 
     # (b) IVF nprobe=2 over 32 spherical-k-means centroids: probe with the
-    # twins, truth = the original appearing in the probe's top-5
+    # twins, truth = the original appearing in the probe's top-5.
+    # Train and probe walls are reported SEPARATELY (round-4 VERDICT #6) —
+    # training is a one-time index build, probing is the steady-state
+    # cost. iters=3 by default: the iters-vs-recall study
+    # (BENCH/ann_iters_study.json, tools/ann_iters_study.py) measured
+    # recall at iters ∈ {3,5,10} and it is flat — the planted-twin truth
+    # set is recovered at 3 iterations, so the bench stops paying for 10.
+    ivf_iters = int(os.environ.get("BENCH_IVF_ITERS", "3"))
     t0 = time.time()
-    cent = ivf_train(ann_world, n_centroids=32, iters=10)
+    cent = ivf_train(ann_world, n_centroids=32, iters=ivf_iters)
+    train_wall = time.time() - t0
+    timings["ann_ivf_train"] = round(train_wall, 3)
+    t0 = time.time()
     assigned = ivf_assign(ann_world, cent).persist()
     probes = ann_world.filter(F.col("vec_id") >= 100_000).select(
         F.col("vec_id").alias("qid"))
@@ -182,9 +206,10 @@ def main() -> None:
         .filter((F.col("r") <= 5) & (F.col("vec_id") == F.col("qid") - 100_000))
         .count()
     )
-    ivf_wall = time.time() - t0
+    probe_wall = time.time() - t0
     ivf_cand.unpersist(); assigned.unpersist(); ann_world.unpersist()
-    timings["ann_ivf_train_nprobe2"] = round(ivf_wall, 3)
+    timings["ann_ivf_probe_nprobe2"] = round(probe_wall, 3)
+    ivf_wall = train_wall + probe_wall
 
     ann_block = {
         "n_vectors": n_ann,
@@ -197,11 +222,15 @@ def main() -> None:
             "wall_s": round(lsh_wall, 2),
         },
         "ivf": {
-            "n_centroids": 32, "kmeans_iters": 10, "nprobe": 2, "k": 5,
+            "n_centroids": 32, "kmeans_iters": ivf_iters, "nprobe": 2, "k": 5,
             "recall": round(ivf_hits / n_twins, 3),
             "candidates": n_ivf_cand,
             "pruning_vs_brute_force": round(n_twins * (n_ann - 1) / n_ivf_cand, 1),
+            "train_wall_s": round(train_wall, 2),
+            "probe_wall_s": round(probe_wall, 2),
             "wall_s": round(ivf_wall, 2),
+            "iters_note": "recall flat at iters∈{3,5,10} — "
+                          "BENCH/ann_iters_study.json",
         },
     }
 
@@ -303,7 +332,7 @@ def main() -> None:
     timings["crawl_multiwindow"] = round(mw_wall, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
@@ -319,7 +348,23 @@ def main() -> None:
         "ann": ann_block,
         "scaling": _scaling_from_artifact(),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
-    }))
+    }
+    line = json.dumps(payload)
+    print(line)
+    # Self-contained artifact (round-4 VERDICT #3: the round artifact
+    # stores only the stdout tail, which truncated the per-query dict):
+    # the newest full line lands in BENCH/driver_bench_latest.json and
+    # every run appends to the history — evidence accretes.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        payload["ts"] = int(time.time())
+        with open(os.path.join(bench_dir, "driver_bench_latest.json"), "w") as f:
+            f.write(json.dumps(payload) + "\n")
+        with open(os.path.join(bench_dir, "driver_bench_history.jsonl"), "a") as f:
+            f.write(json.dumps(payload) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
     spark.stop()
 
 

@@ -174,10 +174,12 @@ def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
     ``probe`` is the big-filter path; same bit semantics. ``n_shards`` is
     the CONFIGURED shard count (routing modulus) — the committed rows may
     cover fewer shards (empty shards are absent)."""
-    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    sc = SparkSession.getActiveSession().sparkContext
+    # resolve the context from the DataFrame itself: getActiveSession()
+    # returns None off the main thread (e.g. a plan built from the async
+    # commit thread) — the argument already carries its session
+    sc = candidates.sparkSession.sparkContext
     bc = sc.broadcast({
         "bits": {int(r["shard_id"]): bytes(r["bits"]) for r in shard_rows},
         "n_bits": int(shard_rows[0]["n_bits"]),

@@ -83,10 +83,10 @@ def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
     """Adds ``maybe_seen``; shard tables travel as an ``sc.broadcast``
     (not UDF-closure bytes — closure bytes re-serialize into every task;
     a broadcast ships once per executor and python workers cache it)."""
-    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    sc = SparkSession.getActiveSession().sparkContext
+    # session from the DataFrame, not getActiveSession() (None off-thread)
+    sc = candidates.sparkSession.sparkContext
     bc = sc.broadcast({
         "tables": {int(r["shard_id"]): bytes(r["table"]) for r in shard_rows},
         "n_buckets": int(shard_rows[0]["n_buckets"]),

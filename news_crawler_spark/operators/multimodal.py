@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
-operators. The decode kernels themselves are STUBBED (this container
-ships no image/audio libraries) behind ``_decode_image_stub`` — a
-deterministic fake keyed on the payload hash — but the Spark-side
-contract is real and tested: schemas, batch shapes, partitioning, and
-the UDF signatures are exactly what a PIL/ffmpeg-backed kernel would
-drop into.
+operators. Image decode is REAL for PNG: ``parse_png_meta`` is a
+from-scratch chunk-walking, CRC- and zlib-validating reader of the
+public PNG spec (RFC 2083), and ``png_bytes`` synthesizes valid PNGs
+for corpora/tests (round-trip + reject coverage in
+tests/test_multimodal.py; DuckDB-oracle-gated end-to-end as the m02
+query). Pillow slots in ahead of it when installed. Only bytes no real
+parser accepts fall through to the deterministic digest stub — a stable
+fake keyed on the payload hash — so the plumbing stays testable on any
+payload. Audio/video kernels (frame sampling, embedding) remain
+contract stubs: this container ships no ffmpeg/codec libraries, but the
+schemas, batch shapes, partitioning, and UDF signatures are exactly
+what a real kernel would drop into.
 
 The crawl pipeline's media spans (kind='image', media_ref=url) feed
 this stage: media_ref → fetched bytes (corpus join, same S2/S3 replay
@@ -82,10 +88,10 @@ def parse_png_meta(payload: bytes) -> tuple[int, int] | None:
     ended = False
     while pos + 12 <= n:
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > n:  # truncated mid-body or mid-CRC
+            return None
         tag = payload[pos + 4: pos + 8]
         body = payload[pos + 8: pos + 8 + length]
-        if len(body) != length:
-            return None
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             return None

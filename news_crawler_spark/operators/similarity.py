@@ -108,6 +108,11 @@ def ivf_train(
         return [x / s for x in v]
 
     cent = [_norm(v) for v in init]
+    if not cent:
+        raise ValueError("ivf_train: input has no vectors")
+    # undersized input: fewer vectors than requested centroids — train
+    # what we have instead of indexing past the init list (ADVICE r4)
+    n_centroids = len(cent)
     for _ in range(iters):
         cent_df = spark.createDataFrame(
             [(i, c) for i, c in enumerate(cent)], "cid int, cvec array<double>"
