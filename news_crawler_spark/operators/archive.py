@@ -30,6 +30,15 @@ def head_fields() -> list[F.Column]:
     return _article_fields() + [F.col("site"), F.col("ts"), F.col("crawl_order")]
 
 
+def article_scalar_fields() -> list[F.Column]:
+    """The four spans-derived scalars of a head row (title, time, img,
+    summary) WITHOUT the url/original_url/site/ts/crawl_order columns the
+    crawl loop's fused stats collect already carries — lets small windows
+    piggyback head maintenance on that one collect (driver-side top-50,
+    LocalTable commit: no per-window head Spark job)."""
+    return _article_fields()[:4]
+
+
 def _article_fields() -> list[F.Column]:
     """The reference's flat record {title, time, img, summary, url}
     projected from spans (record constructors, e.g.

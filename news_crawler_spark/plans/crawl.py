@@ -30,7 +30,12 @@ Driver-loop scale shape (round-2 rework of the round-1 scale-killers):
   flag, max_pages) — never per-page or per-URL rows.
 * Exactly TWO driver collects per window, each one job: a tagged-union
   stats job (per-(seed,page) item counts ∪ stop-on-empty replay rows ∪
-  dispatch/gate counts) and the accept-count job. Round 1 had five.
+  dispatch/gate counts — the gate/dispatch legs scan caches filled by the
+  same job, never recomputing the robots join) and the accept-row job,
+  which for small windows also carries the head-list scalars (the top-50
+  is then merged driver-side and committed via pyarrow — no per-window
+  head Spark job) and the bloom/cuckoo delta twins. Round 1 had five
+  collects; empty windows additionally elide their zero-row appends.
 * The snapshot commit is ASYNC: window N+1's DAG builds and runs while
   window N's tables write; the manifest swap stays strictly ordered
   (one in-flight commit; the loop waits before submitting the next).
@@ -100,7 +105,7 @@ from ..operators.scheduler import (
     schedule_gated,
     ua_expr,
 )
-from ..operators.archive import head_fields
+from ..operators.archive import article_scalar_fields, head_fields
 from ..operators.spans import build_spans
 from ..sources.bucketed import compact_seen_bucketed
 from ..sources.store import LocalTable, SnapshotStore
@@ -111,6 +116,10 @@ FRONTIER_SCHEMA = (
     "seed_index int, site string, url_base string, next_page int, max_pages int, status string"
 )
 FUZZY_SCHEMA = "site string, norm_title string, seq long"
+HEAD_SCHEMA = (
+    "title string, time string, img string, summary string, url string, "
+    "original_url string, site string, ts timestamp, crawl_order long"
+)
 METRICS_SCHEMA = (
     "batch_id int, stage string, partition_id int, rows_in long, rows_out long, wall_ms long"
 )
@@ -176,6 +185,7 @@ def run_crawl(
     seen_buckets: int = 64,
     cache_corpus: bool = False,
     driver_stats_max_rows: int = 500_000,
+    driver_head_max_rows: int = 50_000,
 ) -> CrawlResult:
     """Run the crawl to frontier exhaustion (or ``max_batches`` windows),
     committing one snapshot per window; resumes from the store's last
@@ -229,6 +239,7 @@ def run_crawl(
         seen_filter = "bloom" if use_bloom else "none"
     res = CrawlResult()
     _t_prelude = time.time()
+    _had_snapshot = store.last_batch_id >= 0  # resume: append tables exist
 
     # ---- resume or init ------------------------------------------------
     if store.last_batch_id >= 0:
@@ -345,15 +356,22 @@ def run_crawl(
 
     n_retry = retry_mem.count() if retry_mem is not None else 0
     seen_table: str | None = None
+    seen_rows_total = 0  # driver twin of |seen| — sizes the bucket layout
     if compact_every:
         seen_table = "seen_bucketed_" + hashlib.md5(
             store.root.encode()).hexdigest()[:10]
         # run-local artifact: always rebuilt from committed seen deltas
         spark.sql(f"DROP TABLE IF EXISTS {seen_table}")
         res.seen_table = seen_table
+        if seen_mem is not None:
+            seen_rows_total = seen_mem.count()  # one bounded prelude job
     res.prelude_s = time.time() - _t_prelude
     batch = max(store.last_batch_id, 0)  # fresh store: no init snapshot
     prev_unpersist: list[DataFrame] = []
+    # driver-side head-list twin: small fused windows maintain the top-50
+    # as driver rows (LocalTable commit — no per-window head Spark job);
+    # exactly one of head_rows / head_mem is live at any time
+    head_rows: list[tuple] | None = None
     seen_chain: list[DataFrame] = []   # persisted seen deltas not yet folded
     # resume base: committed seen rows not yet in the bucketed table — part
     # of the first fold only (afterwards the table itself carries them)
@@ -428,8 +446,15 @@ def run_crawl(
                     uncomp = pending[0]
                     for df in pending[1:]:
                         uncomp = uncomp.unionByName(df)
+                    # bucket count sized to the data (each fold rewrites
+                    # the table, so the layout grows with it): a fixed
+                    # 64-bucket layout costs 64 scheduled scan tasks per
+                    # window at K=1 regardless of bytes, while a 10^10-row
+                    # table wants the full configured width
+                    n_b = max(8, min(seen_buckets,
+                                     seen_rows_total // 250_000 + 8))
                     compact_seen_bucketed(spark, uncomp, seen_table,
-                                          n_buckets=seen_buckets)
+                                          n_buckets=n_b)
                 seen_resume_base = None
                 for df in seen_chain:
                     df.unpersist()
@@ -489,7 +514,17 @@ def run_crawl(
                                 order_key_col(F.col("page"), F.col("seed_index"), F.lit(0)))
                 )
                 due = due.unionByName(retry_due)
-            gated = robots_gate(due, robots, broadcast_robots=n_dim_rows <= dim_broadcast_max)
+            # gated is persisted so stats1's gate-count leg scans the
+            # cache (filled when dispatched evaluates, same job) instead
+            # of re-running the due-explode + robots join per window.
+            # (df.observe was tried for this — round-3/4 ADVICE — and
+            # measured the same job shape, but Observation.get returns a
+            # schema-less row on resume windows whose first action
+            # evaluates the observed node only under a cached/broadcast
+            # subtree, so the cache-leg form is the robust one.)
+            gated = robots_gate(
+                due, robots, broadcast_robots=n_dim_rows <= dim_broadcast_max
+            ).persist()
             dispatched = schedule_gated(gated, bts, window_s, n_salts=n_salts).persist()
             retries_next = None
             if max_retries > 0:
@@ -756,6 +791,12 @@ def run_crawl(
             t0 = time.time()
             n_items_total = sum(item_counts.values())
             fuse_stats = n_items_total <= driver_stats_max_rows
+            # small windows also piggyback the HEAD-LIST scalars on the
+            # same collect (title/time/img/summary can be long strings, so
+            # the cap is tighter than the count-stats cap): the top-50 is
+            # then maintained driver-side and committed as a LocalTable —
+            # one fewer Spark job per window
+            fuse_head = fuse_stats and n_items_total <= driver_head_max_rows
             accept_urls = None
             fz_rows = None
             pid_counts = None
@@ -763,9 +804,13 @@ def run_crawl(
                 # site/norm_title/crawl_order piggyback on the same single
                 # collect: the fuzzy-title delta then commits driver-side
                 # (LocalTable) like the seen delta — no per-window job
-                ac = docs.select("seed_index", "page", "url_canon", "site",
-                                 "norm_title", "crawl_order", "fuzzy_dedup",
-                                 F.spark_partition_id().alias("pid")).toPandas()
+                sel = [F.col("seed_index"), F.col("page"), F.col("url_canon"),
+                       F.col("site"), F.col("norm_title"), F.col("crawl_order"),
+                       F.col("fuzzy_dedup"), F.spark_partition_id().alias("pid")]
+                if fuse_head:
+                    sel += article_scalar_fields() + [F.col("original_url"),
+                                                      F.col("ts")]
+                ac = docs.select(*sel).toPandas()
                 g = ac.groupby(["seed_index", "page"]).size()
                 acc_counts = {(int(k[0]), int(k[1])): int(v) for k, v in g.items()}
                 accept_urls = ac["url_canon"]
@@ -923,13 +968,49 @@ def run_crawl(
             # S9: the reference maintains a global 50-newest news.json
             # every run (utils.js:18-23); the engine keeps it as an
             # incrementally-merged 50-row overwrite table — new docs'
-            # top-k vs the previous head, never a full-table sort
-            win_head = docs.select(*head_fields())
-            new_head = (
-                head_mem.unionByName(win_head) if head_mem is not None else win_head
-            ).orderBy(F.desc("ts"), F.col("crawl_order")).limit(50) \
-                .localCheckpoint(eager=False)  # cap the union-of-unions depth
-            overwrite["head_list"] = new_head
+            # top-k vs the previous head, never a full-table sort.
+            # Fused small windows (fuse_head): the head scalars rode the
+            # stats2 collect, so the merge runs driver-side and commits
+            # as a LocalTable — no per-window head Spark job at K=1.
+            new_head = None
+            if fuse_head:
+                if head_rows is None:
+                    if head_mem is not None:
+                        # one-time conversion (resume / after a big window):
+                        # 50 rows — bounded collect. Defer the unpersist to
+                        # the post-wait_commit drain: the in-flight commit
+                        # may still be writing this DataFrame.
+                        head_rows = [tuple(r) for r in head_mem.select(
+                            "title", "time", "img", "summary", "url",
+                            "original_url", "site", "ts", "crawl_order"
+                        ).collect()]
+                        prev_unpersist.append(head_mem)
+                        head_mem = None
+                    else:
+                        head_rows = []
+                new_rows = list(zip(
+                    ac["title"], ac["time"], ac["img"], ac["summary"],
+                    ac["url_canon"], ac["original_url"], ac["site"],
+                    (t.to_pydatetime() for t in ac["ts"]),
+                    (int(x) for x in ac["crawl_order"]),
+                ))
+                merged = head_rows + new_rows
+                merged.sort(key=lambda r: r[8])                # crawl_order asc
+                merged.sort(key=lambda r: r[7], reverse=True)  # ts desc, stable
+                head_rows = merged[:50]
+                overwrite["head_list"] = LocalTable(head_rows, HEAD_SCHEMA)
+            else:
+                if head_mem is None and head_rows is not None:
+                    # back to the Spark path (window outgrew the driver
+                    # cap): 50 rows — a LocalRelation, no job
+                    head_mem = spark.createDataFrame(head_rows, HEAD_SCHEMA)
+                    head_rows = None
+                win_head = docs.select(*head_fields())
+                new_head = (
+                    head_mem.unionByName(win_head) if head_mem is not None else win_head
+                ).orderBy(F.desc("ts"), F.col("crawl_order")).limit(50) \
+                    .localCheckpoint(eager=False)  # cap the union-of-unions depth
+                overwrite["head_list"] = new_head
             overwrite["seed_state"] = LocalTable(
                 [tuple(s[k] for k in ("seed_index", "site", "url",
                                       "max_pages", "active"))
@@ -956,46 +1037,59 @@ def run_crawl(
             # tasks each) per commit; big windows keep their parallelism
             w_docs = max(1, min(n_parts, n_accepted // 100_000 + 1))
             w_log = max(1, min(n_parts, (n_disp + n_accepted) // 100_000 + 1))
+            append_tables = {
+                "documents": docs.drop("seed_index", "page", "norm_title",
+                                       "fuzzy_dedup").coalesce(w_docs),
+                # fused windows already collected the accepted URLs for
+                # the stats/filter twins — the seen delta is driver rows
+                "seen": (LocalTable([(u,) for u in accept_urls],
+                                    "url_canon string")
+                         if accept_urls is not None
+                         else seen_delta.coalesce(w_docs)),
+                # append-mode deltas: the old overwrite re-evaluated and
+                # rewrote the WHOLE fuzzy union chain every window; the
+                # title set only ever grows, so committed deltas read
+                # back as the same full set (fused windows: driver rows)
+                "fuzzy_titles": (LocalTable(fz_rows, FUZZY_SCHEMA)
+                                 if fz_rows is not None
+                                 else fz_delta.coalesce(1)),
+                "frontier_log": frontier_log.coalesce(w_log),
+                "metrics": (metrics if isinstance(metrics, LocalTable)
+                            else metrics.coalesce(1)),
+            }
+            # Empty-window write elision (retry-drain tails at K=1): a
+            # zero-row append is a pure job + manifest-delta tax. Only
+            # elide once the table provably exists from an earlier commit
+            # (resume or a prior accepting window) so first-window readers
+            # always find their tables.
+            if n_accepted == 0 and (_had_snapshot or res.accepted > 0):
+                for t in ("documents", "seen", "fuzzy_titles"):
+                    del append_tables[t]
+            if n_disp + n_accepted == 0 and (_had_snapshot or res.dispatched > 0):
+                append_tables.pop("frontier_log", None)
             store.commit_async(
                 batch,
                 overwrite=overwrite,
-                append={
-                    "documents": docs.drop("seed_index", "page", "norm_title",
-                                           "fuzzy_dedup").coalesce(w_docs),
-                    # fused windows already collected the accepted URLs for
-                    # the stats/filter twins — the seen delta is driver rows
-                    "seen": (LocalTable([(u,) for u in accept_urls],
-                                        "url_canon string")
-                             if accept_urls is not None
-                             else seen_delta.coalesce(w_docs)),
-                    # append-mode deltas: the old overwrite re-evaluated and
-                    # rewrote the WHOLE fuzzy union chain every window; the
-                    # title set only ever grows, so committed deltas read
-                    # back as the same full set (fused windows: driver rows)
-                    "fuzzy_titles": (LocalTable(fz_rows, FUZZY_SCHEMA)
-                                     if fz_rows is not None
-                                     else fz_delta.coalesce(1)),
-                    "frontier_log": frontier_log.coalesce(w_log),
-                    "metrics": (metrics if isinstance(metrics, LocalTable)
-                                else metrics.coalesce(1)),
-                },
+                append=append_tables,
                 meta={"pages": [p0, p1],
                       "active_seeds": sum(1 for s in seed_state if s["active"]),
                       "retries_pending": n_retry},
             )
             _clock("commit_submit", t0)
 
-            prev_unpersist = [docs, pregate, items, dispatched, frontier_mem]
+            prev_unpersist = [docs, pregate, items, dispatched, gated, frontier_mem]
             if retry_mem is not None:
                 prev_unpersist.append(retry_mem)
-            if head_mem is not None:
-                prev_unpersist.append(head_mem)
-            head_mem = new_head
+            if new_head is not None:  # Spark-path head window
+                if head_mem is not None:
+                    prev_unpersist.append(head_mem)
+                head_mem = new_head
             retry_mem = retries_next
             seen_mem, fuzzy_mem, frontier_mem = new_seen, new_fuzzy, new_frontier
 
             res.batches += 1
             since_compact += 1
+            seen_rows_total += n_accepted
             # Nudge the JVM so the ContextCleaner reclaims the previous
             # windows' checkpoint RDDs and broadcasts NOW: their py4j
             # proxies just died, but without a GC the weak refs never
