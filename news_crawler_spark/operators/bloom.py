@@ -25,6 +25,7 @@ dependence).
 from __future__ import annotations
 
 import hashlib
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -161,6 +162,44 @@ def probe(candidates: DataFrame, shards: DataFrame, url_col: str = "url_canon",
 
 BROADCAST_SHARD_BYTES = 64 << 20  # ≤64 MiB of filter → ship in the UDF closure
 
+# Weak registry of the sc.broadcast handles minted by probe_broadcast
+# (bloom AND cuckoo arms). Weakrefs only: one-shot callers (q16, tests)
+# keep the normal lifecycle — handle dies with its plan, ContextCleaner
+# reclaims it after a JVM GC. The crawl loop, whose windows mint one
+# broadcast each, drains the registry per window and destroys the
+# previous window's entries deterministically once wait_commit + the
+# checkpoint materialization invariants guarantee no live plan can
+# re-evaluate them — instead of letting shard bytes for up to 8 windows
+# accrete between the loop's periodic GCs.
+_LIVE_PROBE_BROADCASTS: list = []
+
+
+def _track_broadcast(bc) -> None:
+    _LIVE_PROBE_BROADCASTS.append(weakref.ref(bc))
+
+
+def drain_probe_broadcasts() -> list:
+    """Hand the tracked broadcast weakrefs to the caller and reset the
+    registry. The caller owns deciding when destroy_broadcasts is safe."""
+    out = _LIVE_PROBE_BROADCASTS[:]
+    _LIVE_PROBE_BROADCASTS.clear()
+    return out
+
+
+def destroy_broadcasts(refs: list) -> None:
+    """Destroy still-live broadcast handles (frees executor blocks AND
+    the driver copy now, not at the next periodic GC). Dead refs mean the
+    ContextCleaner already has the handle; errors mean the context is
+    shutting down — both are fine to skip."""
+    for ref in refs:
+        bc = ref()
+        if bc is None:
+            continue
+        try:
+            bc.destroy()
+        except Exception:
+            pass
+
 
 def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
                     url_col: str = "url_canon") -> DataFrame:
@@ -185,6 +224,7 @@ def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
         "n_bits": int(shard_rows[0]["n_bits"]),
         "k": int(shard_rows[0]["n_hashes"]),
     })
+    _track_broadcast(bc)
 
     @pandas_udf("boolean")
     def bloom_maybe_seen(urls: pd.Series) -> pd.Series:

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bloom import _h12, shard_id_col
+from .bloom import _h12, _track_broadcast, shard_id_col
 
 SLOTS = 4
 MIX = np.uint64(0x5BD1E995)
@@ -91,6 +91,7 @@ def probe_broadcast(candidates: DataFrame, shard_rows: list, n_shards: int,
         "tables": {int(r["shard_id"]): bytes(r["table"]) for r in shard_rows},
         "n_buckets": int(shard_rows[0]["n_buckets"]),
     })
+    _track_broadcast(bc)
 
     @pandas_udf("boolean")
     def cuckoo_maybe_seen(urls: pd.Series) -> pd.Series:

@@ -368,6 +368,15 @@ def run_crawl(
     res.prelude_s = time.time() - _t_prelude
     batch = max(store.last_batch_id, 0)  # fresh store: no init snapshot
     prev_unpersist: list[DataFrame] = []
+    # filter-probe broadcasts live on the prev_unpersist lifecycle: the
+    # window's sc.broadcast handles are drained into prev_probe_bcs when
+    # the window ends and destroyed at the NEXT window's drain point —
+    # after wait_commit (their commit plans are done) and after the next
+    # window's stats actions (which materialize the lazy checkpoints whose
+    # lineage was the last reference). Stale registry entries from earlier
+    # same-session queries are discarded (not destroyed) up front.
+    bloom.drain_probe_broadcasts()
+    prev_probe_bcs: list = []
     # driver-side head-list twin: small fused windows maintain the top-50
     # as driver rows (LocalTable commit — no per-window head Spark job);
     # exactly one of head_rows / head_mem is live at any time
@@ -1030,6 +1039,8 @@ def run_crawl(
             store.wait_commit()
             for df in prev_unpersist:
                 df.unpersist()
+            bloom.destroy_broadcasts(prev_probe_bcs)
+            prev_probe_bcs = []
             _clock("commit_wait", t0)
             t0 = time.time()
             # size the write partitioning to the window: a K=1 window of a
@@ -1078,6 +1089,7 @@ def run_crawl(
             _clock("commit_submit", t0)
 
             prev_unpersist = [docs, pregate, items, dispatched, gated, frontier_mem]
+            prev_probe_bcs = bloom.drain_probe_broadcasts()
             if retry_mem is not None:
                 prev_unpersist.append(retry_mem)
             if new_head is not None:  # Spark-path head window
@@ -1115,6 +1127,7 @@ def run_crawl(
         store.wait_commit()
         for df in prev_unpersist + seen_chain + fuzzy_chain:
             df.unpersist()
+        bloom.destroy_broadcasts(prev_probe_bcs + bloom.drain_probe_broadcasts())
         if fuzzy_ckpt is not None:
             fuzzy_ckpt.unpersist()
         if frontier_mem is not None:
